@@ -1,0 +1,166 @@
+"""2D zebra line relaxation with batched tridiagonal (Thomas/LDLᵀ) solves.
+
+Reference: BMG2_SymStd_relax_lines_{x,y}.f90 + BMG2_SymStd_SETUP_lines_{x,y}.f90.
+Semantics reproduced exactly:
+
+* zebra ordering — DOWN relaxes rows of odd interior index first
+  (Fortran JBEG_START=3), then even; UP reverses (:81-96);
+* per line: rhs = qf + all couplings to the OTHER rows at current values,
+  then an exact tridiagonal solve along the line with diag = KO and
+  off-diagonal = -KW (LAPACK DPTTRF/DPTTRS in the reference);
+* the LDLᵀ factorization is precomputed once at setup and stored, like the
+  reference's SOR workspace.
+
+All lines of one color are independent, so the tridiagonal solves are
+batched: a `lax.scan` along the line direction carries every line of the
+color at once (two sweeps of length nx).  A Pallas cyclic-reduction kernel
+can replace the scan on TPU for O(log n) depth; the interface is unchanged.
+
+y-lines reuse the x-line implementation on transposed operands (under
+transpose W↔S swap, SW↦SWᵀ, NW↦NWᵀ).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cedar_tpu.core.shift import shift2
+from cedar_tpu.core.types import Dir2, StencilKind
+
+
+def setup_lines(so: jnp.ndarray, kind: StencilKind, axis: str) -> jnp.ndarray:
+    """LDLᵀ factors of each grid line along ``axis`` ('x' or 'y').
+
+    Returns ``(2, nx, ny)``: plane 0 = 1/d(i), plane 1 = l(i) = e(i)/d(i-1)
+    with e = true off-diagonal (= -stored W or S).  Factorization runs as a
+    scan along the line (same recurrence DPTTRF uses).
+    """
+    if axis == "y":
+        so = _transpose_so(so, kind)
+    diag = so[Dir2.O]          # (nx, ny), line direction = axis 0
+    e = -so[Dir2.W]            # e[i] couples point i-1 and i (e[0] unused)
+
+    def fac_step(d_prev, inputs):
+        a_i, e_i = inputs
+        l_i = e_i / d_prev
+        d_i = a_i - l_i * e_i
+        return d_i, (d_i, l_i)
+
+    d0 = diag[0]
+    _, (ds, ls) = jax.lax.scan(
+        fac_step, d0, (diag[1:], e[1:])
+    )
+    d_all = jnp.concatenate([d0[None], ds], axis=0)
+    l_all = jnp.concatenate([jnp.zeros_like(d0)[None], ls], axis=0)
+    out = jnp.stack([1.0 / d_all, l_all])
+    if axis == "y":
+        out = out.transpose(0, 2, 1)
+    return out
+
+
+def _tridiag_solve(sor: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve LDLᵀ x = rhs along axis 0, batched over axis 1."""
+    dinv, l = sor[0], sor[1]
+
+    def fwd(z_prev, inputs):
+        b_i, l_i = inputs
+        z_i = b_i - l_i * z_prev
+        return z_i, z_i
+
+    z0 = rhs[0]
+    _, zs = jax.lax.scan(fwd, z0, (rhs[1:], l[1:]))
+    z = jnp.concatenate([z0[None], zs], axis=0)
+    w = z * dinv
+
+    def bwd(x_next, inputs):
+        w_i, l_next = inputs
+        x_i = w_i - l_next * x_next
+        return x_i, x_i
+
+    xn = w[-1]
+    _, xs = jax.lax.scan(
+        bwd, xn, (w[:-1][::-1], l[1:][::-1])
+    )
+    return jnp.concatenate([xs[::-1], xn[None]], axis=0)
+
+
+def _transpose_so(so: jnp.ndarray, kind: StencilKind) -> jnp.ndarray:
+    ot = so[Dir2.O].T
+    wt = so[Dir2.S].T
+    st = so[Dir2.W].T
+    if kind == StencilKind.five_pt:
+        return jnp.stack([ot, wt, st])
+    return jnp.stack([ot, wt, st, so[Dir2.SW].T, so[Dir2.NW].T])
+
+
+def _line_rhs_x(so, q, b, kind, periodic):
+    """rhs = b + couplings to neighboring ROWS (everything but W/E terms)."""
+    S = so[Dir2.S]
+    rhs = (
+        b
+        + S * shift2(q, 0, -1, periodic)
+        + shift2(S, 0, 1, periodic) * shift2(q, 0, 1, periodic)
+    )
+    if kind != StencilKind.five_pt:
+        SW, NW = so[Dir2.SW], so[Dir2.NW]
+        rhs = (
+            rhs
+            + SW * shift2(q, -1, -1, periodic)
+            + shift2(NW, 1, 0, periodic) * shift2(q, 1, -1, periodic)
+            + shift2(NW, 0, 1, periodic) * shift2(q, -1, 1, periodic)
+            + shift2(SW, 1, 1, periodic) * shift2(q, 1, 1, periodic)
+        )
+    return rhs
+
+
+def _set_rows(q: jnp.ndarray, rows: jnp.ndarray, parity: int) -> jnp.ndarray:
+    """Replace rows (along axis 1) of the given parity, scatter-free."""
+    nx, ny = q.shape
+    n_even = (ny + 1) // 2
+    n_odd = ny // 2
+    m = max(n_even, n_odd)
+    if parity == 0:
+        even, odd = rows, q[:, 1::2]
+    else:
+        even, odd = q[:, 0::2], rows
+    even = jnp.pad(even, ((0, 0), (0, m - even.shape[1])))
+    odd = jnp.pad(odd, ((0, 0), (0, m - odd.shape[1])))
+    out = jnp.stack([even, odd], axis=2).reshape(nx, 2 * m)
+    return out[:, :ny]
+
+
+def line_relax_x(
+    so: jnp.ndarray,
+    q: jnp.ndarray,
+    b: jnp.ndarray,
+    sor: jnp.ndarray,
+    kind: StencilKind,
+    updown: str,
+    periodic=(False, False),
+) -> jnp.ndarray:
+    """One zebra x-line sweep (both colors)."""
+    order = (1, 0) if updown == "down" else (0, 1)
+    for parity in order:
+        rhs = _line_rhs_x(so, q, b, kind, periodic)[:, parity::2]
+        sol = _tridiag_solve(sor[:, :, parity::2], rhs)
+        q = _set_rows(q, sol, parity)
+    return q
+
+
+def line_relax_y(
+    so: jnp.ndarray,
+    q: jnp.ndarray,
+    b: jnp.ndarray,
+    sor: jnp.ndarray,
+    kind: StencilKind,
+    updown: str,
+    periodic=(False, False),
+) -> jnp.ndarray:
+    """One zebra y-line sweep: x-line relaxation of the transposed system."""
+    so_t = _transpose_so(so, kind)
+    per_t = (periodic[1], periodic[0])
+    qt = line_relax_x(
+        so_t, q.T, b.T, sor.transpose(0, 2, 1), kind, updown, per_t
+    )
+    return qt.T

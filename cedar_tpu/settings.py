@@ -1,0 +1,151 @@
+"""Multilevel solver settings.
+
+Mirrors the reference's `ml_settings` (reference:
+include/cedar/multilevel_settings.h:28-50, src/multilevel_settings.cc:15-61)
+including all defaults, so that Cedar `config.json` files drive this
+framework unchanged.
+"""
+
+from __future__ import annotations
+
+import enum
+from dataclasses import dataclass, field
+
+from cedar_tpu.config import Config
+
+
+class RelaxType(enum.Enum):
+    point = "point"
+    line_x = "line-x"
+    line_y = "line-y"
+    line_xy = "line-xy"
+    plane_xy = "plane-xy"
+    plane_xz = "plane-xz"
+    plane_yz = "plane-yz"
+    plane_xyz = "plane-xyz"
+
+
+class CycleType(enum.Enum):
+    v = "v"
+    f = "f"
+
+
+class CGType(enum.Enum):
+    lu = "LU"          # direct (Cholesky) solve on the coarsest grid
+    serial = "cedar"   # a (replicated) inner multigrid solver
+    redist = "redist"  # agglomerate onto a smaller submesh, recurse
+
+
+class RedistSearch(enum.Enum):
+    manual = "manual"
+    coarsen = "coarsen"
+    astar = "astar"
+
+
+@dataclass
+class RedistSettings:
+    """Reference: redist_settings::init (src/multilevel_settings.cc:102-125)."""
+
+    search_strat: RedistSearch = RedistSearch.coarsen
+    path: list = field(default_factory=list)
+    min_coarse: int = 3
+    machine_bandwidth: float = 177e6
+    machine_latency: float = 6.5e-7
+    machine_fprate: float = 4.4e-10
+
+    @classmethod
+    def from_config(cls, conf: Config) -> "RedistSettings":
+        s = cls()
+        strat = conf.get("redist.search.strategy", "coarsen")
+        try:
+            s.search_strat = RedistSearch(strat)
+        except ValueError:
+            raise ValueError(f"Search strategy not recognized: {strat}")
+        if s.search_strat == RedistSearch.manual:
+            s.path = conf.getnvec("redist.search.path")
+        if s.search_strat == RedistSearch.astar:
+            s.min_coarse = conf.get("solver.min-coarse", 3)
+            s.machine_bandwidth = conf.get("machine.bandwidth", 177e6)
+            s.machine_latency = conf.get("machine.latency", 6.5e-7)
+            s.machine_fprate = conf.get("machine.fp_perf", 4.4e-10)
+        return s
+
+
+@dataclass
+class MLSettings:
+    """Reference: ml_settings::init (src/multilevel_settings.cc:15-61).
+
+    Defaults match the reference exactly: relaxation "point", cycle "v",
+    nrelax-pre 2, nrelax-post 1, num-levels -1 (auto), max-iter 10,
+    tol 1e-8, min_coarse 3, cg-solver "LU".
+    """
+
+    relaxation: RelaxType = RelaxType.point
+    cycle: CycleType = CycleType.v
+    nrelax_pre: int = 2
+    nrelax_post: int = 1
+    num_levels: int = -1
+    maxiter: int = 10
+    tol: float = 1e-8
+    min_coarse: int = 3
+    coarse_solver: CGType = CGType.lu
+    coarse_config: Config | None = None
+    rsettings: RedistSettings | None = None
+
+    @classmethod
+    def from_config(cls, conf: Config) -> "MLSettings":
+        s = cls()
+        relax = conf.get("solver.relaxation", "point")
+        try:
+            s.relaxation = RelaxType(relax)
+        except ValueError:
+            raise ValueError(f"invalid relaxation type: {relax}")
+
+        cyc = conf.get("solver.cycle.type", "v")
+        try:
+            s.cycle = CycleType(cyc)
+        except ValueError:
+            raise ValueError(f"invalid cycle type: {cyc}")
+
+        s.nrelax_pre = conf.get("solver.cycle.nrelax-pre", 2)
+        s.nrelax_post = conf.get("solver.cycle.nrelax-post", 1)
+        s.num_levels = conf.get("solver.num-levels", -1)
+        s.maxiter = conf.get("solver.max-iter", 10)
+        s.tol = conf.get("solver.tol", 1e-8)
+        # NB: the reference reads "solver.min_coarse" (underscore), not the
+        # schema's "min-coarse" (src/multilevel_settings.cc:42); we accept
+        # both, underscore first, to stay behavior-compatible.
+        s.min_coarse = conf.get(
+            "solver.min_coarse", conf.get("solver.min-coarse", 3)
+        )
+
+        cg = conf.get("solver.cg-solver", "LU")
+        try:
+            s.coarse_solver = CGType(cg)
+        except ValueError:
+            raise ValueError("invalid value for solver.cg-solver")
+
+        s.coarse_config = conf.getconf("cg-config")
+        if s.coarse_config is None:
+            s.coarse_config = conf.getconf("")
+
+        if s.coarse_solver == CGType.redist:
+            s.rsettings = RedistSettings.from_config(conf)
+        return s
+
+    def __str__(self) -> str:
+        lines = [
+            "",
+            "-------------------",
+            "Multilevel Settings",
+            "-------------------",
+            f"coarse solver:   {self.coarse_solver.name}",
+            f"relaxation:      {self.relaxation.value}",
+            f"cycle:           {self.cycle.value.upper()}",
+            f"min coarse:      {self.min_coarse}",
+            f"nrelax pre:      {self.nrelax_pre}",
+            f"nrelax post:     {self.nrelax_post}",
+            f"maxiter:         {self.maxiter}",
+            f"tol:             {self.tol}",
+        ]
+        return "\n".join(lines)

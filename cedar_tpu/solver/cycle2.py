@@ -1,0 +1,108 @@
+"""2D V- and F-cycles over a static level hierarchy.
+
+Rebuilds the reference's recursive cycle drivers
+(include/cedar/cycle/vcycle.h:44-115, include/cedar/cycle/fcycle.h:49-84) as
+pure functions: the recursion over levels unrolls at trace time (level count
+and shapes are static, matching the reference's precomputed ``nog``), so one
+`jit` contains the entire cycle — smoothing, residual, transfer operators and
+the coarse direct solve — with no host round-trips.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cedar_tpu.core.types import StencilKind
+from cedar_tpu.ops import cg
+from cedar_tpu.ops.interp2 import interp_add, restrict
+from cedar_tpu.ops.relax2 import point_relax
+from cedar_tpu.ops.lines2 import line_relax_x, line_relax_y
+from cedar_tpu.ops.stencil2 import residual
+from cedar_tpu.settings import MLSettings, RelaxType
+
+
+def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic):
+    """Dispatch one smoothing application (reference: multilevel.h:134-223).
+
+    Pre-smoothing (DOWN) applies line-x then line-y for "line-xy";
+    post-smoothing (UP) reverses to line-y then line-x (symmetric cycle).
+    """
+    rt = settings.relaxation
+    if rt == RelaxType.point:
+        return point_relax(lev.so, x, b, lev.recip, kind, updown, periodic)
+    if rt == RelaxType.line_x:
+        return line_relax_x(lev.so, x, b, lev.sor_x, kind, updown, periodic)
+    if rt == RelaxType.line_y:
+        return line_relax_y(lev.so, x, b, lev.sor_y, kind, updown, periodic)
+    if rt == RelaxType.line_xy:
+        if updown == "down":
+            x = line_relax_x(lev.so, x, b, lev.sor_x, kind, updown, periodic)
+            return line_relax_y(lev.so, x, b, lev.sor_y, kind, updown, periodic)
+        x = line_relax_y(lev.so, x, b, lev.sor_y, kind, updown, periodic)
+        return line_relax_x(lev.so, x, b, lev.sor_x, kind, updown, periodic)
+    raise ValueError(f"invalid 2D relaxation: {rt}")
+
+
+def ncycle(
+    levels,
+    kinds,
+    lvl: int,
+    x: jnp.ndarray,
+    b: jnp.ndarray,
+    settings: MLSettings,
+    periodic=(False, False),
+    n: int = 1,
+):
+    """Recursive n-cycle (n=1: V, n=2: W).  Reference: vcycle.h:57-115."""
+    lev = levels[lvl]
+    kind = kinds[lvl]
+
+    for _ in range(settings.nrelax_pre):
+        x = _smooth(lev, kind, x, b, settings, "down", periodic)
+
+    res = residual(lev.so, x, b, kind, periodic)
+    coarse = levels[lvl + 1]
+    cb = restrict(coarse.ci, res, periodic)
+
+    if lvl + 1 == len(levels) - 1:
+        cx = cg.solve_cg(coarse.ainv, cb)
+    else:
+        cx = jnp.zeros_like(cb)
+        for _ in range(n):
+            cx = ncycle(levels, kinds, lvl + 1, cx, cb, settings, periodic, n)
+
+    x = interp_add(coarse.ci, lev.so, cx, res, x, periodic)
+
+    for _ in range(settings.nrelax_post):
+        x = _smooth(lev, kind, x, b, settings, "up", periodic)
+    return x
+
+
+def fmg_cycle(
+    levels,
+    kinds,
+    lvl: int,
+    b: jnp.ndarray,
+    settings: MLSettings,
+    periodic=(False, False),
+):
+    """Full multigrid cycle (reference: fcycle.h:49-84).  Returns x."""
+    if lvl == len(levels) - 1:
+        return cg.solve_cg(levels[lvl].ainv, b)
+    coarse = levels[lvl + 1]
+    cb = restrict(coarse.ci, b, periodic)
+    cx = fmg_cycle(levels, kinds, lvl + 1, cb, settings, periodic)
+    zero_res = jnp.zeros_like(b)
+    x = interp_add(
+        coarse.ci, levels[lvl].so, cx, zero_res, jnp.zeros_like(b), periodic
+    )
+    return ncycle(levels, kinds, lvl, x, b, settings, periodic)
+
+
+def run_cycle(levels, kinds, x, b, settings: MLSettings, periodic):
+    """One cycle of the configured type (reference: multilevel.h:289-296)."""
+    if len(levels) == 1:
+        return cg.solve_cg(levels[0].ainv, b)
+    if settings.cycle.value == "f":
+        return fmg_cycle(levels, kinds, 0, b, settings, periodic)
+    return ncycle(levels, kinds, 0, x, b, settings, periodic)

@@ -1,0 +1,223 @@
+"""2D multilevel BoxMG solver.
+
+Rebuilds the reference's `cdr2::solver<fsten>` + `multilevel` driver
+(include/cedar/2d/solver.h:21-122, include/cedar/multilevel.h:26-318) as two
+jitted pure functions over a static level pytree:
+
+* **setup** — per level: operator-induced interpolation, Galerkin coarse
+  operator, relaxation workspace; coarsest: dense inverse
+  (multilevel.h:243-265).  One jit, runs entirely on device.
+* **solve** — residual-norm-controlled cycle iteration
+  (multilevel.h:278-298) as a `lax.while_loop`; the returned history
+  reproduces the reference's per-iteration "relative l2 norm" lines.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from cedar_tpu.config import Config
+from cedar_tpu.core.types import StencilKind
+from cedar_tpu.ops import cg
+from cedar_tpu.ops.galerkin2 import coarsen_op
+from cedar_tpu.ops.interp2 import setup_interp
+from cedar_tpu.ops.lines2 import setup_lines
+from cedar_tpu.ops.relax2 import setup_recip
+from cedar_tpu.ops.stencil2 import residual
+from cedar_tpu.settings import MLSettings, RelaxType
+from cedar_tpu.solver.cycle2 import run_cycle
+from cedar_tpu.solver.level import Level
+from cedar_tpu.utils import log
+
+
+def compute_num_levels(nx: int, ny: int, min_coarse: int) -> int:
+    """Halve until below min_coarse (reference: 2d/solver.h:57-73)."""
+    ng = 0
+    while True:
+        ng += 1
+        nxc = (nx - 1) // (1 << ng) + 1
+        nyc = (ny - 1) // (1 << ng) + 1
+        if min(nxc, nyc) < min_coarse:
+            return ng
+
+
+def level_shapes(nx: int, ny: int, nlevels: int) -> list[tuple[int, int]]:
+    """Per-level interior shapes, nxc = (nx-1)/2 + 1 (2d/solver.h:75-116)."""
+    shapes = [(nx, ny)]
+    for _ in range(nlevels - 1):
+        nx = (nx - 1) // 2 + 1
+        ny = (ny - 1) // 2 + 1
+        shapes.append((nx, ny))
+    return shapes
+
+
+def _needs(settings: MLSettings):
+    rt = settings.relaxation
+    point = rt == RelaxType.point
+    lx = rt in (RelaxType.line_x, RelaxType.line_xy)
+    ly = rt in (RelaxType.line_y, RelaxType.line_xy)
+    return point, lx, ly
+
+
+def setup_level_workspace(so, kind, settings, periodic):
+    point, lx, ly = _needs(settings)
+    recip = setup_recip(so) if point else None
+    sor_x = setup_lines(so, kind, "x") if lx else None
+    sor_y = setup_lines(so, kind, "y") if ly else None
+    return recip, sor_x, sor_y
+
+
+def setup_hierarchy(
+    so_fine: jnp.ndarray,
+    fine_kind: StencilKind,
+    nlevels: int,
+    settings: MLSettings,
+    periodic=(False, False),
+    indefinite: bool = False,
+):
+    """Build the full level hierarchy (reference: multilevel.h:243-265)."""
+    sos = [so_fine]
+    kinds = [fine_kind]
+    cis = [None]
+    so, kind = so_fine, fine_kind
+    for _ in range(nlevels - 1):
+        ci = setup_interp(so, kind, periodic)
+        so = coarsen_op(ci, so, kind, periodic)
+        kind = StencilKind.nine_pt
+        sos.append(so)
+        kinds.append(kind)
+        cis.append(ci)
+
+    levels = []
+    for lvl in range(nlevels):
+        if lvl < nlevels - 1:
+            recip, sor_x, sor_y = setup_level_workspace(
+                sos[lvl], kinds[lvl], settings, periodic
+            )
+            levels.append(
+                Level(so=sos[lvl], recip=recip, sor_x=sor_x, sor_y=sor_y,
+                      ci=cis[lvl])
+            )
+        else:
+            # coarsest level: direct solve (no relaxation workspace,
+            # reference: multilevel.h:258-263 loops to num_levels-1 only)
+            ainv = cg.setup_cg_lu(sos[lvl], kinds[lvl], periodic, indefinite)
+            levels.append(Level(so=sos[lvl], ci=cis[lvl], ainv=ainv))
+    return tuple(levels)
+
+
+def _l2(r):
+    return jnp.sqrt(jnp.sum(r * r))
+
+
+class Solver2:
+    """2D BoxMG solver over interior-only JAX arrays.
+
+    Parameters
+    ----------
+    so : (ndir, nx, ny) stencil operator (FivePt: [O,W,S]; NinePt adds SW,NW)
+    kind : StencilKind of the fine operator
+    conf : Config | dict | None — Cedar-compatible configuration
+    """
+
+    def __init__(
+        self,
+        so: jnp.ndarray,
+        kind: StencilKind = StencilKind.five_pt,
+        conf: Config | dict | None = None,
+    ):
+        if not isinstance(conf, Config):
+            conf = Config(conf)
+        self.conf = conf
+        self.settings = MLSettings.from_config(conf)
+        log.set_enabled(conf.get("log", ["status", "error"]))
+        self.kind = kind
+        per = conf.get("grid.periodic", [False, False])
+        self.periodic = (bool(per[0]), bool(per[1]))
+        self.indefinite = not conf.get("solver.definite", True)
+
+        nx, ny = so.shape[1], so.shape[2]
+        nlevels = compute_num_levels(nx, ny, self.settings.min_coarse)
+        if self.settings.num_levels > 0:
+            if self.settings.num_levels > nlevels:
+                raise ValueError("too many levels specified")
+            nlevels = self.settings.num_levels
+        self.nlevels = nlevels
+        self.shapes = level_shapes(nx, ny, nlevels)
+        self.kinds = [kind] + [StencilKind.nine_pt] * (nlevels - 1)
+        log.debug(f"Using a {nlevels} level hierarchy")
+
+        setup_fn = jax.jit(
+            functools.partial(
+                setup_hierarchy,
+                fine_kind=kind,
+                nlevels=nlevels,
+                settings=self.settings,
+                periodic=self.periodic,
+                indefinite=self.indefinite,
+            )
+        )
+        self.levels = setup_fn(so)
+
+        self._solve_jit = jax.jit(self._solve_impl)
+        self._cycle_jit = jax.jit(self._cycle_impl)
+
+    # -- jitted bodies -------------------------------------------------------
+    def _cycle_impl(self, levels, x, b):
+        return run_cycle(
+            levels, self.kinds, x, b, self.settings, self.periodic
+        )
+
+    def _solve_impl(self, levels, b, x0):
+        settings = self.settings
+        fine = levels[0]
+        r0 = residual(fine.so, x0, b, self.kinds[0], self.periodic)
+        res0 = _l2(r0)
+        maxiter = settings.maxiter
+        hist0 = jnp.full((maxiter,), jnp.nan, b.dtype)
+
+        def cond(carry):
+            i, x, rel, hist = carry
+            return (i < maxiter) & (rel >= settings.tol)
+
+        def body(carry):
+            i, x, rel, hist = carry
+            x = run_cycle(
+                levels, self.kinds, x, b, settings, self.periodic
+            )
+            r = residual(fine.so, x, b, self.kinds[0], self.periodic)
+            rel = _l2(r) / res0
+            hist = hist.at[i].set(rel)
+            return i + 1, x, rel, hist
+
+        rel0 = jnp.asarray(jnp.inf, b.dtype)
+        iters, x, rel, hist = jax.lax.while_loop(
+            cond, body, (0, x0, rel0, hist0)
+        )
+        return x, hist, iters, res0
+
+    # -- public API ------------------------------------------------------------
+    def vcycle(self, x, b):
+        """One cycle (reference: multilevel::vcycle)."""
+        return self._cycle_jit(self.levels, x, b)
+
+    def solve(self, b, x0=None):
+        if x0 is None:
+            x0 = jnp.zeros_like(b)
+        x, hist, iters, res0 = self._solve_jit(self.levels, b, x0)
+        iters = int(iters)
+        hist_host = [float(h) for h in hist[:iters]]
+        log.info(f"Initial residual l2 norm: {float(res0):g}")
+        for i, rel in enumerate(hist_host):
+            log.status(f"Iteration {i} relative l2 norm: {rel:g}")
+        self.history = hist_host
+        self.res0 = float(res0)
+        return x
+
+    @property
+    def coarse_shape(self):
+        return self.shapes[-1]

@@ -1,0 +1,23 @@
+"""Test configuration.
+
+Mirrors the reference's testing strategy (SURVEY §4): correctness runs
+serially in float64 on the CPU backend; multi-device tests use a virtual
+8-device CPU mesh (the analogue of the reference's `mpiexec -np N` on one
+host).  XLA_FLAGS must be set before jax initializes.
+"""
+
+import os
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def cpu_devices():
+    return jax.devices("cpu")

@@ -23,9 +23,10 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from cedar_tpu.core.parity import deinterleave2
 from cedar_tpu.core.shift import coarse_sample, shift2
 from cedar_tpu.core.types import Dir2, StencilKind
-from cedar_tpu.ops.interp2 import pw_weights
+from cedar_tpu.ops.interp2 import parity_sample, pw_weights
 from cedar_tpu.ops.stencil2 import full_offsets
 
 
@@ -43,8 +44,14 @@ def coarsen_op(
     af = full_offsets(so, kind, periodic)   # (dz,dw) -> fine array (true sign)
     pw = pw_weights(ci)                      # (du,dv) -> coarse array
 
-    def fs(field, p, q):
-        return coarse_sample(field, (p, q), nc, periodic)
+    if any(periodic):
+        def fs(off, p, q):
+            return coarse_sample(af[off], (p, q), nc, periodic)
+    else:
+        afd = {off: deinterleave2(field) for off, field in af.items()}
+
+        def fs(off, p, q):
+            return parity_sample(afd[off], p, q, nc)
 
     # -- stage 1: AP patches -------------------------------------------------
     ap = {}
@@ -55,7 +62,7 @@ def coarsen_op(
                 off = (du - p, dv - q)
                 if off not in af:
                     continue
-                term = fs(af[off], p, q) * w
+                term = fs(off, p, q) * w
                 acc = term if acc is None else acc + term
             if acc is not None:
                 ap[(p, q)] = acc

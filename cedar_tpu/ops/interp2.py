@@ -25,7 +25,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from cedar_tpu.core.shift import coarse_sample, interleave2, shift2
+from cedar_tpu.core.parity import deinterleave2, interleave2, subgrid_sample
+from cedar_tpu.core.shift import coarse_sample, shift2
 from cedar_tpu.core.types import Dir2, InterpDir2 as L, StencilKind
 
 
@@ -145,17 +146,18 @@ def setup_interp(
         lne_d = (N * lr_n + E * la_e) * s_c
 
     # --- gather the valid parities into CI ---------------------------------
+    # (deinterleave, not double-strided slices — see cedar_tpu.core.parity)
     ci = jnp.zeros((8, nxc + 1, nyc + 1), so.dtype)
     kx = nx // 2   # number of x-line points per coarse row
     my = ny // 2   # number of y-line points per coarse column
-    ci = ci.at[L.LL, 1 : 1 + kx, 0:nyc].set(ll_d[1::2, 0::2])
-    ci = ci.at[L.LR, 1 : 1 + kx, 0:nyc].set(lr_d[1::2, 0::2])
-    ci = ci.at[L.LA, 0:nxc, 1 : 1 + my].set(la_d[0::2, 1::2])
-    ci = ci.at[L.LB, 0:nxc, 1 : 1 + my].set(lb_d[0::2, 1::2])
-    ci = ci.at[L.LSW, 1 : 1 + kx, 1 : 1 + my].set(lsw_d[1::2, 1::2])
-    ci = ci.at[L.LSE, 1 : 1 + kx, 1 : 1 + my].set(lse_d[1::2, 1::2])
-    ci = ci.at[L.LNW, 1 : 1 + kx, 1 : 1 + my].set(lnw_d[1::2, 1::2])
-    ci = ci.at[L.LNE, 1 : 1 + kx, 1 : 1 + my].set(lne_d[1::2, 1::2])
+    ci = ci.at[L.LL, 1 : 1 + kx, 0:nyc].set(deinterleave2(ll_d)[(1, 0)])
+    ci = ci.at[L.LR, 1 : 1 + kx, 0:nyc].set(deinterleave2(lr_d)[(1, 0)])
+    ci = ci.at[L.LA, 0:nxc, 1 : 1 + my].set(deinterleave2(la_d)[(0, 1)])
+    ci = ci.at[L.LB, 0:nxc, 1 : 1 + my].set(deinterleave2(lb_d)[(0, 1)])
+    ci = ci.at[L.LSW, 1 : 1 + kx, 1 : 1 + my].set(deinterleave2(lsw_d)[(1, 1)])
+    ci = ci.at[L.LSE, 1 : 1 + kx, 1 : 1 + my].set(deinterleave2(lse_d)[(1, 1)])
+    ci = ci.at[L.LNW, 1 : 1 + kx, 1 : 1 + my].set(deinterleave2(lnw_d)[(1, 1)])
+    ci = ci.at[L.LNE, 1 : 1 + kx, 1 : 1 + my].set(deinterleave2(lne_d)[(1, 1)])
     return ci
 
 
@@ -191,6 +193,18 @@ def pw_weights(ci: jnp.ndarray):
     return out
 
 
+def parity_sample(parts: dict, du: int, dv: int, nc):
+    """``q[2zc+du, 2wc+dv]`` on the coarse grid, from parity subgrids.
+
+    Contiguous shift of the right parity subgrid — avoids double-strided
+    slices entirely (see cedar_tpu.core.parity).
+    """
+    pz, pw_ = du % 2, dv % 2
+    sz = (du - pz) // 2
+    sw = (dv - pw_) // 2
+    return subgrid_sample(parts[(pz, pw_)], sz, sw, nc)
+
+
 def restrict(
     ci: jnp.ndarray, q: jnp.ndarray, periodic=(False, False)
 ) -> jnp.ndarray:
@@ -199,11 +213,19 @@ def restrict(
     nyc = ci.shape[2] - 1
     nc = (nxc, nyc)
     pw = pw_weights(ci)
-    qc = coarse_sample(q, (0, 0), nc, periodic)
+    if any(periodic):
+        # wrap sampling path (setup-rate only; periodic wrap crosses parity)
+        qc = coarse_sample(q, (0, 0), nc, periodic)
+        for off, wgt in pw.items():
+            if off != (0, 0):
+                qc = qc + wgt * coarse_sample(q, off, nc, periodic)
+        return qc
+    parts = deinterleave2(q)
+    qc = parity_sample(parts, 0, 0, nc)
     for off, wgt in pw.items():
         if off == (0, 0):
             continue
-        qc = qc + wgt * coarse_sample(q, off, nc, periodic)
+        qc = qc + wgt * parity_sample(parts, off[0], off[1], nc)
     return qc
 
 
@@ -225,7 +247,7 @@ def interp_add(
     nxc, nyc = qc.shape
     kx = nx // 2
     my = ny // 2
-    r2 = res / so[Dir2.O]
+    r2p = deinterleave2(res / so[Dir2.O])
     # zero-padded coarse solution: index nxc/nyc reads as 0
     qcp = jnp.pad(qc, ((0, 1), (0, 1)))
 
@@ -237,7 +259,7 @@ def interp_add(
     parts[(1, 0)] = (
         lr * qcp[1 : 1 + kx, 0:nyc]
         + ll * qcp[0:kx, 0:nyc]
-        + r2[1::2, 0::2]
+        + r2p[(1, 0)]
     )
 
     # y-line points (2k, 2m-1), k in 0..nxc-1, m in 1..my
@@ -246,7 +268,7 @@ def interp_add(
     parts[(0, 1)] = (
         la * qcp[0:nxc, 1 : 1 + my]
         + lb * qcp[0:nxc, 0:my]
-        + r2[0::2, 1::2]
+        + r2p[(0, 1)]
     )
 
     # cell centers (2k-1, 2m-1), k in 1..kx, m in 1..my
@@ -259,7 +281,7 @@ def interp_add(
         + lnw * qcp[0:kx, 1 : 1 + my]
         + lne * qcp[1 : 1 + kx, 1 : 1 + my]
         + lse * qcp[1 : 1 + kx, 0:my]
-        + r2[1::2, 1::2]
+        + r2p[(1, 1)]
     )
 
     return q + interleave2(parts, nx, ny)

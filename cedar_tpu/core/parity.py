@@ -107,6 +107,53 @@ def interleave2(parts: dict, nx: int, ny: int) -> jnp.ndarray:
     return y[:nx, :ny]
 
 
+def deinterleave3(a: jnp.ndarray):
+    """Split (nx, ny, nz) into its eight parity subgrids.
+
+    Returns dict ``(p0, p1, p2) -> subgrid``.  Like :func:`deinterleave2`,
+    implemented as single-axis stride-2 slices separated by optimization
+    barriers (each single-axis stride-2 slice is near-free on TPU; the fused
+    multi-axis strided slice is a pathological lane-gather).
+    """
+    out = {}
+    for p0 in (0, 1):
+        r0 = jax.lax.optimization_barrier(a[p0::2])
+        for p1 in (0, 1):
+            r1 = jax.lax.optimization_barrier(r0[:, p1::2])
+            out[(p0, p1, 0)] = r1[:, :, 0::2]
+            out[(p0, p1, 1)] = r1[:, :, 1::2]
+    return out
+
+
+def interleave3(parts: dict, n0: int, n1: int, n2: int) -> jnp.ndarray:
+    """Merge 3D parity subgrids back into (n0, n1, n2) (missing -> 0)."""
+    ms = ((n0 + 1) // 2, (n1 + 1) // 2, (n2 + 1) // 2)
+    dtype = None
+    for v in parts.values():
+        dtype = v.dtype
+        break
+    blocks = []
+    for p0 in (0, 1):
+        rows = []
+        for p1 in (0, 1):
+            row = []
+            for p2 in (0, 1):
+                v = parts.get((p0, p1, p2))
+                if v is None:
+                    v = jnp.zeros(ms, dtype)
+                else:
+                    v = jnp.pad(
+                        v,
+                        tuple((0, ms[ax] - v.shape[ax]) for ax in range(3)),
+                    )
+                row.append(v)
+            rows.append(jnp.stack(row, axis=-1))  # (m0, m1, m2, 2)
+        blocks.append(jnp.stack(rows, axis=2))  # (m0, m1, 2, m2, 2)
+    stacked = jnp.stack(blocks, axis=1)  # (m0, 2, m1, 2, m2, 2)
+    out = stacked.reshape(2 * ms[0], 2 * ms[1], 2 * ms[2])
+    return out[:n0, :n1, :n2]
+
+
 def subgrid_sample(sub: jnp.ndarray, dz: int, dw: int, out_shape):
     """``out[z, w] = sub[z + dz, w + dw]``, zero outside, padded/cropped to
     ``out_shape`` (coarse grid).  All contiguous ops."""
@@ -120,3 +167,19 @@ def subgrid_sample(sub: jnp.ndarray, dz: int, dw: int, out_shape):
     z0 = dz + pz_lo
     w0 = dw + pw_lo
     return p[z0 : z0 + out_shape[0], w0 : w0 + out_shape[1]]
+
+
+def subgrid_sample_nd(sub: jnp.ndarray, deltas, out_shape):
+    """ND generalization of :func:`subgrid_sample`: ``out[c] = sub[c + d]``,
+    zero outside, padded/cropped to ``out_shape``."""
+    lo = [max(-d, 0) for d in deltas]
+    hi = [
+        max(out_shape[ax] + deltas[ax] - sub.shape[ax], 0)
+        for ax in range(len(deltas))
+    ]
+    p = jnp.pad(sub, tuple(zip(lo, hi)))
+    slc = tuple(
+        slice(deltas[ax] + lo[ax], deltas[ax] + lo[ax] + out_shape[ax])
+        for ax in range(len(deltas))
+    )
+    return p[slc]

@@ -112,6 +112,63 @@ class InterpDir2:
     LSE = 7
 
 
+class InterpDir3:
+    """3D interpolation weight plane indices.
+
+    Same semantics as the reference's 26-plane CI array (l* constants in
+    src/3d/ftn/BMG_stencils_f90.h, 0-based here), with the low ghost trimmed:
+    our ``CI[d, k, m, n]`` equals the reference's ``CI(k+1, m+1, n+1, d+1)``.
+    Stored on an ``(nxc+1, nyc+1, nzc+1)`` grid (extra high entries hold the
+    weights of fine points beyond the last coarse point, which the reference
+    keeps in its CI ghost ring).
+
+    Weight-plane semantics, written as the fine→coarse displacement δ the
+    plane interpolates across (δ = coarse position − fine position, in fine
+    index units; verified against BMG3_SymStd_restrict.f90:115-145):
+
+    * x-edge points (odd x):    XYL δ=(-1,0,0), XYR δ=(+1,0,0)
+    * y-edge points (odd y):    XYA δ=(0,+1,0), XYB δ=(0,-1,0)
+    * z-edge points (odd z):    XZA δ=(0,0,+1), XZB δ=(0,0,-1)
+    * xy-face centers:          XYNE δ=(+1,+1,0), XYSE δ=(+1,-1,0),
+                                XYSW δ=(-1,-1,0), XYNW δ=(-1,+1,0)
+    * xz-face centers:          XZSW δ=(-1,0,-1), XZNW δ=(-1,0,+1),
+                                XZNE δ=(+1,0,+1), XZSE δ=(+1,0,-1)
+    * yz-face centers:          YZSW δ=(0,+1,-1), YZNW δ=(0,+1,+1),
+                                YZNE δ=(0,-1,+1), YZSE δ=(0,-1,-1)
+    * cell centers (all odd):   BSW δ=(-1,-1,-1), BNW δ=(-1,+1,-1),
+                                BNE δ=(+1,+1,-1), BSE δ=(+1,-1,-1),
+                                TSW δ=(-1,-1,+1), TNW δ=(-1,+1,+1),
+                                TNE δ=(+1,+1,+1), TSE δ=(+1,-1,+1)
+    """
+
+    XYL = 0
+    XYR = 1
+    XYA = 2
+    XYB = 3
+    XZA = 4
+    XZB = 5
+    XYNE = 6
+    XYSE = 7
+    XYSW = 8
+    XYNW = 9
+    XZSW = 10
+    XZNW = 11
+    XZNE = 12
+    XZSE = 13
+    YZSW = 14
+    YZNW = 15
+    YZNE = 16
+    YZSE = 17
+    BSW = 18
+    BNW = 19
+    BNE = 20
+    BSE = 21
+    TSW = 22
+    TNW = 23
+    TNE = 24
+    TSE = 25
+
+
 class Dir3:
     """3D symmetric stencil plane indices (reference: cdr3_dir, kp..kbsw).
 

@@ -88,6 +88,14 @@ def poisson_solution(nx: int, ny: int, dtype=None) -> jnp.ndarray:
 
 def poisson3(nx: int, ny: int, nz: int, dtype=None) -> jnp.ndarray:
     """7-point Poisson, h²-scaled (reference: 3d/gallery.cc)."""
+    return diag_diffusion3(nx, ny, nz, 1.0, 1.0, 1.0, dtype)
+
+
+def diag_diffusion3(
+    nx: int, ny: int, nz: int, dx: float, dy: float, dz: float, dtype=None
+) -> jnp.ndarray:
+    """Anisotropic diffusion -(dx u_xx + dy u_yy + dz u_zz)
+    (reference: 3d/gallery.cc diag_diffusion)."""
     dtype = _default_dtype(dtype)
     hx = 1.0 / (nx + 1)
     hy = 1.0 / (ny + 1)
@@ -96,10 +104,10 @@ def poisson3(nx: int, ny: int, nz: int, dtype=None) -> jnp.ndarray:
     yh = hx * hz / hy
     zh = hx * hy / hz
     so = np.zeros((4, nx, ny, nz))
-    so[Dir3.PW, 1:, :, :] = xh
-    so[Dir3.PS, :, 1:, :] = yh
-    so[Dir3.B, :, :, 1:] = zh
-    so[Dir3.P] = 2 * (xh + yh + zh)
+    so[Dir3.PW, 1:, :, :] = dx * xh
+    so[Dir3.PS, :, 1:, :] = dy * yh
+    so[Dir3.B, :, :, 1:] = dz * zh
+    so[Dir3.P] = 2 * (dx * xh + dy * yh + dz * zh)
     return jnp.asarray(so, dtype)
 
 
@@ -153,5 +161,5 @@ def fe3(nx: int, ny: int, nz: int, dtype=None) -> jnp.ndarray:
     so[Dir3.BNW, 1:, 1:, 1:] = 1.0
     so[Dir3.BNE, 1:, 1:, 1:] = 1.0
     so[Dir3.BSE, 1:, 1:, 1:] = 1.0
-    so[Dir3.P] = 26.0 / 3.0
+    so[Dir3.P] = 26.0
     return jnp.asarray(so, dtype)

@@ -36,7 +36,67 @@ def coarsen_op(
     kind: StencilKind,
     periodic=(False, False),
 ) -> jnp.ndarray:
-    """Galerkin coarse stencil (always nine_pt) from fine stencil + CI."""
+    """Galerkin coarse stencil (always nine_pt) from fine stencil + CI.
+
+    Non-periodic grids use mod-3 comb-basis extraction (cheap to compile,
+    see :func:`coarsen_op_comb`); periodic grids use the explicit product.
+    """
+    if any(periodic):
+        return coarsen_op_explicit(ci, so, kind, periodic)
+    return coarsen_op_comb(ci, so, kind)
+
+
+def coarsen_op_comb(
+    ci: jnp.ndarray, so: jnp.ndarray, kind: StencilKind
+) -> jnp.ndarray:
+    """A_c = Pᵀ A P by comb-basis probing: the 9 coarse-stencil offsets are
+    distinct mod 3, so applying Pᵀ A P to the 9 mod-3 indicator combs
+    recovers every row entry exactly (see galerkin3.coarsen_op_comb)."""
+    import numpy as np
+
+    import jax
+
+    from cedar_tpu.ops.interp2 import interp_add, restrict
+    from cedar_tpu.ops.stencil2 import matvec
+
+    nc = (ci.shape[1] - 1, ci.shape[2] - 1)
+    nf = (so.shape[1], so.shape[2])
+    dtype = so.dtype
+
+    iz = np.arange(nc[0]) % 3
+    iw = np.arange(nc[1]) % 3
+    cls = (iz[:, None] * 3 + iw[None, :]).astype(np.int32)
+    combs = jnp.asarray(np.arange(9)[:, None, None] == cls[None], dtype)
+
+    zf = jnp.zeros(nf, dtype)
+
+    def probe(qc):
+        xf = interp_add(ci, so, qc, zf, zf)
+        return restrict(ci, matvec(so, xf, kind))
+
+    results = jax.vmap(probe)(combs)  # (9, *nc)
+
+    def entry(di, dj):
+        j = (iz[:, None] + di) % 3 * 3 + (iw[None, :] + dj) % 3
+        return jnp.take_along_axis(
+            results, jnp.asarray(j, jnp.int32)[None], axis=0
+        )[0]
+
+    o = entry(0, 0)
+    w_ = -entry(-1, 0)
+    s_ = -entry(0, -1)
+    sw = -entry(-1, -1)
+    nw = -shift2(entry(-1, 1), 0, -1)
+    return jnp.stack([o, w_, s_, sw, nw])
+
+
+def coarsen_op_explicit(
+    ci: jnp.ndarray,
+    so: jnp.ndarray,
+    kind: StencilKind,
+    periodic=(False, False),
+) -> jnp.ndarray:
+    """Explicit two-stage shifted-window product (any boundary conditions)."""
     nxc = ci.shape[1] - 1
     nyc = ci.shape[2] - 1
     nc = (nxc, nyc)

@@ -72,8 +72,16 @@ def point_relax(
     updown: str,
     periodic=(False, False),
 ) -> jnp.ndarray:
-    """One multicolor GS sweep (all colors), DOWN or UP ordering."""
-    for mask in color_masks(q.shape, kind, updown):
+    """One multicolor GS sweep (all colors), DOWN or UP ordering.
+
+    Color phases run as a `lax.scan` over the stacked masks so the compiled
+    graph holds one masked update, not 2/4 inlined copies.
+    """
+    masks = jnp.stack(color_masks(q.shape, kind, updown))
+
+    def body(q, mask):
         upd = (b + offdiag_apply(so, q, kind, periodic)) * recip
-        q = jnp.where(mask, upd, q)
+        return jnp.where(mask, upd, q), None
+
+    q, _ = jax.lax.scan(body, q, masks)
     return q

@@ -91,6 +91,7 @@ class MLSettings:
     coarse_solver: CGType = CGType.lu
     coarse_config: Config | None = None
     rsettings: RedistSettings | None = None
+    plane_settings: "MLSettings | None" = None
 
     @classmethod
     def from_config(cls, conf: Config) -> "MLSettings":
@@ -131,6 +132,16 @@ class MLSettings:
 
         if s.coarse_solver == CGType.redist:
             s.rsettings = RedistSettings.from_config(conf)
+
+        if s.relaxation in (RelaxType.plane_xy, RelaxType.plane_xz,
+                            RelaxType.plane_yz, RelaxType.plane_xyz):
+            pconf = conf.getconf("plane-config")
+            if pconf is None:
+                # reference default plane config (src/kernel_params.cc:72-78)
+                pconf = Config({
+                    "solver": {"relaxation": "line-xy", "max-iter": 1},
+                })
+            s.plane_settings = MLSettings.from_config(pconf)
         return s
 
     def __str__(self) -> str:

@@ -1,0 +1,105 @@
+"""3D V- and F-cycles over a static level hierarchy.
+
+3D analogue of :mod:`cedar_tpu.solver.cycle2` (reference:
+include/cedar/cycle/vcycle.h:44-115, fcycle.h:49-84, relaxation dispatch
+multilevel.h:134-223).  Plane relaxation embeds batched 2D cycles
+(:mod:`cedar_tpu.ops.planes3`): where the reference loops zebra planes
+sequentially, each with its own 2D solver (include/cedar/3d/relax_planes.h),
+here all planes of one color run as ONE vmapped 2D V-cycle.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from cedar_tpu.ops import cg
+from cedar_tpu.ops.interp3 import interp_add, restrict
+from cedar_tpu.ops.relax3 import point_relax
+from cedar_tpu.settings import MLSettings, RelaxType
+from cedar_tpu.ops.stencil3 import residual
+
+
+def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic):
+    """One smoothing application (reference: multilevel.h:134-223).
+
+    For plane-xyz relaxation the reference applies xy, yz, xz sweeps on the
+    way down and xz, yz, xy on the way up (3d/mpi/solver.h relax_dir
+    dispatch); plane relaxation arrives with the plane-relax milestone.
+    """
+    rt = settings.relaxation
+    if rt == RelaxType.point:
+        return point_relax(lev.so, x, b, lev.recip, kind, updown, periodic)
+    if rt in (RelaxType.plane_xy, RelaxType.plane_xz, RelaxType.plane_yz,
+              RelaxType.plane_xyz):
+        from cedar_tpu.ops.planes3 import ORIENTS_OF, plane_relax
+
+        orients = ORIENTS_OF[rt]
+        if updown == "up":
+            orients = tuple(reversed(orients))
+        for o in orients:
+            x = plane_relax(lev, kind, x, b, o, updown, settings, periodic)
+        return x
+    raise ValueError(f"invalid 3D relaxation: {rt}")
+
+
+def ncycle(
+    levels,
+    kinds,
+    lvl: int,
+    x: jnp.ndarray,
+    b: jnp.ndarray,
+    settings: MLSettings,
+    periodic=(False, False, False),
+    n: int = 1,
+):
+    """Recursive n-cycle (n=1: V, n=2: W).  Reference: vcycle.h:57-115."""
+    lev = levels[lvl]
+    kind = kinds[lvl]
+
+    for _ in range(settings.nrelax_pre):
+        x = _smooth(lev, kind, x, b, settings, "down", periodic)
+
+    res = residual(lev.so, x, b, kind, periodic)
+    coarse = levels[lvl + 1]
+    cb = restrict(coarse.ci, res, periodic)
+
+    if lvl + 1 == len(levels) - 1:
+        cx = cg.solve_cg(coarse.ainv, cb)
+    else:
+        cx = jnp.zeros_like(cb)
+        for _ in range(n):
+            cx = ncycle(levels, kinds, lvl + 1, cx, cb, settings, periodic, n)
+
+    x = interp_add(coarse.ci, lev.so, cx, res, x, periodic)
+
+    for _ in range(settings.nrelax_post):
+        x = _smooth(lev, kind, x, b, settings, "up", periodic)
+    return x
+
+
+def fmg_cycle(
+    levels,
+    kinds,
+    lvl: int,
+    b: jnp.ndarray,
+    settings: MLSettings,
+    periodic=(False, False, False),
+):
+    """Full multigrid cycle (reference: fcycle.h:49-84).  Returns x."""
+    if lvl == len(levels) - 1:
+        return cg.solve_cg(levels[lvl].ainv, b)
+    coarse = levels[lvl + 1]
+    cb = restrict(coarse.ci, b, periodic)
+    cx = fmg_cycle(levels, kinds, lvl + 1, cb, settings, periodic)
+    zero = jnp.zeros_like(b)
+    x = interp_add(coarse.ci, levels[lvl].so, cx, zero, zero, periodic)
+    return ncycle(levels, kinds, lvl, x, b, settings, periodic)
+
+
+def run_cycle(levels, kinds, x, b, settings: MLSettings, periodic):
+    """One cycle of the configured type (reference: multilevel.h:289-296)."""
+    if len(levels) == 1:
+        return cg.solve_cg(levels[0].ainv, b)
+    if settings.cycle.value == "f":
+        return fmg_cycle(levels, kinds, 0, b, settings, periodic)
+    return ncycle(levels, kinds, 0, x, b, settings, periodic)

@@ -24,3 +24,5 @@ class Level(NamedTuple):
     sor_x: Optional[jnp.ndarray] = None       # line-relax x factorization
     sor_y: Optional[jnp.ndarray] = None       # line-relax y factorization
     ainv: Optional[jnp.ndarray] = None        # coarsest: dense inverse
+    planes: Optional[dict] = None             # 3D: orient -> batched 2D
+    #                                           plane hierarchy (plane relax)

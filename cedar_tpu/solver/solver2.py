@@ -14,7 +14,7 @@ jitted pure functions over a static level pytree:
 
 from __future__ import annotations
 
-import functools
+
 from typing import Sequence
 
 import jax
@@ -63,11 +63,22 @@ def _needs(settings: MLSettings):
     return point, lx, ly
 
 
+# Module-level jitted setup pieces: one compile per (shape, kind) across the
+# whole process (see solver3 for rationale).
+_setup_interp_j = jax.jit(setup_interp, static_argnames=("kind", "periodic"))
+_coarsen_j = jax.jit(coarsen_op, static_argnames=("kind", "periodic"))
+_recip_j = jax.jit(setup_recip)
+_lines_j = jax.jit(setup_lines, static_argnames=("kind", "axis"))
+_cg_j = jax.jit(
+    cg.setup_cg_lu, static_argnames=("kind", "periodic", "indefinite")
+)
+
+
 def setup_level_workspace(so, kind, settings, periodic):
     point, lx, ly = _needs(settings)
-    recip = setup_recip(so) if point else None
-    sor_x = setup_lines(so, kind, "x") if lx else None
-    sor_y = setup_lines(so, kind, "y") if ly else None
+    recip = _recip_j(so) if point else None
+    sor_x = _lines_j(so, kind=kind, axis="x") if lx else None
+    sor_y = _lines_j(so, kind=kind, axis="y") if ly else None
     return recip, sor_x, sor_y
 
 
@@ -85,8 +96,8 @@ def setup_hierarchy(
     cis = [None]
     so, kind = so_fine, fine_kind
     for _ in range(nlevels - 1):
-        ci = setup_interp(so, kind, periodic)
-        so = coarsen_op(ci, so, kind, periodic)
+        ci = _setup_interp_j(so, kind=kind, periodic=periodic)
+        so = _coarsen_j(ci, so, kind=kind, periodic=periodic)
         kind = StencilKind.nine_pt
         sos.append(so)
         kinds.append(kind)
@@ -105,7 +116,10 @@ def setup_hierarchy(
         else:
             # coarsest level: direct solve (no relaxation workspace,
             # reference: multilevel.h:258-263 loops to num_levels-1 only)
-            ainv = cg.setup_cg_lu(sos[lvl], kinds[lvl], periodic, indefinite)
+            ainv = _cg_j(
+                sos[lvl], kind=kinds[lvl], periodic=periodic,
+                indefinite=indefinite,
+            )
             levels.append(Level(so=sos[lvl], ci=cis[lvl], ainv=ainv))
     return tuple(levels)
 
@@ -151,17 +165,14 @@ class Solver2:
         self.kinds = [kind] + [StencilKind.nine_pt] * (nlevels - 1)
         log.debug(f"Using a {nlevels} level hierarchy")
 
-        setup_fn = jax.jit(
-            functools.partial(
-                setup_hierarchy,
-                fine_kind=kind,
-                nlevels=nlevels,
-                settings=self.settings,
-                periodic=self.periodic,
-                indefinite=self.indefinite,
-            )
+        self.levels = setup_hierarchy(
+            so,
+            fine_kind=kind,
+            nlevels=nlevels,
+            settings=self.settings,
+            periodic=self.periodic,
+            indefinite=self.indefinite,
         )
-        self.levels = setup_fn(so)
 
         self._solve_jit = jax.jit(self._solve_impl)
         self._cycle_jit = jax.jit(self._cycle_impl)

@@ -154,6 +154,12 @@ def plane_relax(lev, kind3, x, b, orient, updown, settings: MLSettings,
 
     Reference ordering (relax_planes.h:44-52): DOWN relaxes 1-based-odd
     interior planes (0-based parity 0) then even; UP reversed.
+
+    When the plane count is even, the two color phases run as a `lax.scan`
+    over the color index (planes reshaped to (npl/2, 2, ...) so a color is a
+    dynamic index): the compiled graph holds ONE vmapped 2D cycle instead of
+    two, and DOWN/UP differ only in the scanned order array.  Odd plane
+    counts (colors of unequal size) fall back to an unrolled loop.
     """
     from cedar_tpu.solver.cycle2 import run_cycle as run_cycle2
 
@@ -163,20 +169,58 @@ def plane_relax(lev, kind3, x, b, orient, updown, settings: MLSettings,
     kind2 = plane_kind2(kind3)
     nlev2 = len(hier)
     kinds2 = [kind2] + [StencilKind.nine_pt] * (nlev2 - 1)
+    npl = x.shape[axis]
 
     def cycle2(levels2, x2, b2):
-        for _ in range(max(1, psettings.maxiter)):
-            x2 = run_cycle2(
+        reps = max(1, psettings.maxiter)
+        if reps == 1:
+            return run_cycle2(
                 levels2, kinds2, x2, b2, psettings, (False, False)
             )
+
+        def body(x2, _):
+            return run_cycle2(
+                levels2, kinds2, x2, b2, psettings, (False, False)
+            ), None
+
+        x2, _ = jax.lax.scan(body, x2, None, length=reps)
         return x2
 
     order = (0, 1) if updown == "down" else (1, 0)
-    for c in order:
+
+    if npl % 2:
+        for c in order:
+            rhs3 = b + out_of_plane_apply(lev.so, x, kind3, axis, periodic)
+            b2 = _to_planes(rhs3, axis)[c::2]
+            x2 = _to_planes(x, axis)[c::2]
+            hier_c = jax.tree.map(lambda a: a[c::2], hier)
+            x2 = jax.vmap(cycle2)(hier_c, x2, b2)
+            x = _set_planes(x, x2, axis, c)
+        return x
+
+    def pair(a):
+        """(npl, ...) -> (npl/2, 2, ...): plane k = (k//2, k%2)."""
+        return a.reshape((npl // 2, 2) + a.shape[1:])
+
+    hier_p = jax.tree.map(pair, hier)
+
+    def body(x, c):
         rhs3 = b + out_of_plane_apply(lev.so, x, kind3, axis, periodic)
-        b2 = _to_planes(rhs3, axis)[c::2]
-        x2 = _to_planes(x, axis)[c::2]
-        hier_c = jax.tree.map(lambda a: a[c::2], hier)
+        b2 = jax.lax.dynamic_index_in_dim(
+            pair(_to_planes(rhs3, axis)), c, axis=1, keepdims=False
+        )
+        xp = pair(_to_planes(x, axis))
+        x2 = jax.lax.dynamic_index_in_dim(xp, c, axis=1, keepdims=False)
+        hier_c = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(
+                a, c, axis=1, keepdims=False
+            ),
+            hier_p,
+        )
         x2 = jax.vmap(cycle2)(hier_c, x2, b2)
-        x = _set_planes(x, x2, axis, c)
+        xp = jax.lax.dynamic_update_index_in_dim(xp, x2, c, axis=1)
+        x = jnp.moveaxis(xp.reshape((npl,) + xp.shape[2:]), 0, axis)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, jnp.asarray(order, jnp.int32))
     return x

@@ -10,6 +10,7 @@ the coarse direct solve — with no host round-trips.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from cedar_tpu.core.types import StencilKind
@@ -43,6 +44,20 @@ def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic):
     raise ValueError(f"invalid 2D relaxation: {rt}")
 
 
+def _nsmooth(lev, kind, x, b, settings, updown, periodic, nrelax):
+    """``nrelax`` identical sweeps as one lax.scan (smaller compiled graph)."""
+    if nrelax <= 1:
+        for _ in range(nrelax):
+            x = _smooth(lev, kind, x, b, settings, updown, periodic)
+        return x
+
+    def body(x, _):
+        return _smooth(lev, kind, x, b, settings, updown, periodic), None
+
+    x, _ = jax.lax.scan(body, x, None, length=nrelax)
+    return x
+
+
 def ncycle(
     levels,
     kinds,
@@ -57,8 +72,8 @@ def ncycle(
     lev = levels[lvl]
     kind = kinds[lvl]
 
-    for _ in range(settings.nrelax_pre):
-        x = _smooth(lev, kind, x, b, settings, "down", periodic)
+    x = _nsmooth(lev, kind, x, b, settings, "down", periodic,
+                 settings.nrelax_pre)
 
     res = residual(lev.so, x, b, kind, periodic)
     coarse = levels[lvl + 1]
@@ -73,8 +88,8 @@ def ncycle(
 
     x = interp_add(coarse.ci, lev.so, cx, res, x, periodic)
 
-    for _ in range(settings.nrelax_post):
-        x = _smooth(lev, kind, x, b, settings, "up", periodic)
+    x = _nsmooth(lev, kind, x, b, settings, "up", periodic,
+                 settings.nrelax_post)
     return x
 
 

@@ -1,0 +1,163 @@
+"""Distributed BoxMG solvers over a JAX device mesh.
+
+The TPU-native counterpart of the reference's `mpi::solver`
+(include/cedar/2d/mpi/solver.h, 3d/mpi/solver.h).  Differences by design
+(SURVEY §2.3 "TPU-native equivalent plan"):
+
+* the grid is one logically-global array block-partitioned by a
+  `NamedSharding` instead of per-rank local arrays + ghost rings;
+* halo exchange is not a subsystem: the SPMD partitioner lowers every
+  shifted-window read inside the jitted cycle to halo collective-permutes
+  over ICI, overlapped with compute (replaces MSG/Tausch and the
+  per-color exchange calls in BMG2_SymStd_relax_GS.f90:124-126);
+* multicolor sweeps agree across any sharding because color masks are
+  anchored to global indices (the reference anchors to iGs/jGs parity);
+* coarse-grid agglomeration = per-level sharding constraints from
+  :mod:`cedar_tpu.parallel.policy`, applied both to the stored hierarchy
+  and inside the cycle (after restrict / interp_add);
+* `setup_nog` (global level-count agreement via MPI_Allreduce) is
+  unnecessary: level counts are computed from global extents on the host,
+  identically everywhere.
+
+Setup itself runs sharded: the fine stencil is committed to the mesh before
+the jitted setup pieces run, so interpolation/Galerkin products execute
+distributed.
+"""
+
+from __future__ import annotations
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from cedar_tpu.config import Config
+from cedar_tpu.core.types import StencilKind
+from cedar_tpu.parallel.policy import (
+    batched_sharding,
+    func_sharding,
+    level_specs,
+)
+from cedar_tpu.parallel.topo import make_mesh
+from cedar_tpu.solver.solver2 import Solver2
+from cedar_tpu.solver.solver3 import Solver3
+
+
+def _place_level(lev, mesh, spec):
+    """Commit a level's arrays to the mesh under the level's spec.
+
+    Axes whose extent does not divide the mesh dimension are replicated for
+    that array (committed shardings must divide evenly; e.g. CI planes have
+    one extra high entry per axis)."""
+    ndim = len(spec)
+
+    def put(name, a):
+        if a is None:
+            return None
+        if name == "ainv":
+            return jax.device_put(a, func_sharding(mesh, P()))
+        nlead = a.ndim - ndim
+        names = [
+            ax
+            if ax is not None and a.shape[nlead + d] % mesh.shape[ax] == 0
+            else None
+            for d, ax in enumerate(spec)
+        ]
+        return jax.device_put(
+            a, batched_sharding(mesh, P(*names), nlead)
+        )
+
+    return type(lev)(**{
+        name: (put(name, val) if name != "planes" else val)
+        for name, val in lev._asdict().items()
+    })
+
+
+class _DistMixin:
+    """Sharding plumbing shared by the 2D/3D distributed solvers."""
+
+    def _dist_init(self, conf: Config, mesh):
+        ndim = self._ndim
+        self.mesh = mesh if mesh is not None else make_mesh(ndim)
+        if len(self.mesh.axis_names) != ndim:
+            raise ValueError(
+                f"need a {ndim}-axis mesh, got {self.mesh.axis_names}"
+            )
+        strategy = conf.get("redist.search.strategy", "coarsen")
+        path = conf.get("redist.search.path", None)
+        min_local = conf.get("redist.min-local", 8)
+        self.specs = level_specs(
+            self.shapes, self.mesh, min_local=min_local,
+            strategy=strategy, path=path,
+        )
+
+    def _shard_fine(self, so, conf, mesh):
+        """Commit the fine operator before setup so setup runs sharded."""
+        ndim = self._ndim
+        mesh = mesh if mesh is not None else make_mesh(ndim)
+        names = [
+            ax if so.shape[1 + d] % mesh.shape[ax] == 0 else None
+            for d, ax in enumerate(mesh.axis_names)
+        ]
+        return (
+            jax.device_put(so, batched_sharding(mesh, P(*names), 1)),
+            mesh,
+        )
+
+    def _apply_policy(self):
+        self.levels = tuple(
+            _place_level(lev, self.mesh, self.specs[i])
+            for i, lev in enumerate(self.levels)
+        )
+        self.constraints = [
+            func_sharding(self.mesh, spec) for spec in self.specs
+        ]
+        # re-jit with the constrained cycle
+        self._solve_jit = jax.jit(self._solve_impl)
+        self._cycle_jit = jax.jit(self._cycle_impl)
+
+    def _put_fine_func(self, a):
+        return jax.device_put(
+            a, func_sharding(self.mesh, self.specs[0])
+        )
+
+    def solve(self, b, x0=None):
+        import jax.numpy as jnp
+
+        b = self._put_fine_func(b)
+        if x0 is None:
+            x0 = jnp.zeros_like(b)
+        else:
+            x0 = self._put_fine_func(x0)
+        return super().solve(b, x0)
+
+    def vcycle(self, x, b):
+        return super().vcycle(
+            self._put_fine_func(x), self._put_fine_func(b)
+        )
+
+
+class DistSolver2(_DistMixin, Solver2):
+    """2D BoxMG block-partitioned over a 2-axis device mesh."""
+
+    _ndim = 2
+
+    def __init__(self, so, kind=StencilKind.five_pt, conf=None, mesh=None):
+        if not isinstance(conf, Config):
+            conf = Config(conf)
+        so, mesh = self._shard_fine(so, conf, mesh)
+        super().__init__(so, kind, conf)
+        self._dist_init(conf, mesh)
+        self._apply_policy()
+
+
+class DistSolver3(_DistMixin, Solver3):
+    """3D BoxMG block-partitioned over a 3-axis device mesh."""
+
+    _ndim = 3
+
+    def __init__(self, so, kind=StencilKind.seven_pt, conf=None, mesh=None):
+        if not isinstance(conf, Config):
+            conf = Config(conf)
+        so, mesh = self._shard_fine(so, conf, mesh)
+        super().__init__(so, kind, conf)
+        self._dist_init(conf, mesh)
+        self._apply_policy()

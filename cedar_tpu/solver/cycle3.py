@@ -66,6 +66,7 @@ def ncycle(
     settings: MLSettings,
     periodic=(False, False, False),
     n: int = 1,
+    constraints=None,
 ):
     """Recursive n-cycle (n=1: V, n=2: W).  Reference: vcycle.h:57-115."""
     lev = levels[lvl]
@@ -77,15 +78,21 @@ def ncycle(
     res = residual(lev.so, x, b, kind, periodic)
     coarse = levels[lvl + 1]
     cb = restrict(coarse.ci, res, periodic)
+    if constraints is not None:
+        # agglomeration point: pin the coarse level's (sub)mesh placement
+        cb = jax.lax.with_sharding_constraint(cb, constraints[lvl + 1])
 
     if lvl + 1 == len(levels) - 1:
         cx = cg.solve_cg(coarse.ainv, cb)
     else:
         cx = jnp.zeros_like(cb)
         for _ in range(n):
-            cx = ncycle(levels, kinds, lvl + 1, cx, cb, settings, periodic, n)
+            cx = ncycle(levels, kinds, lvl + 1, cx, cb, settings, periodic,
+                        n, constraints)
 
     x = interp_add(coarse.ci, lev.so, cx, res, x, periodic)
+    if constraints is not None:
+        x = jax.lax.with_sharding_constraint(x, constraints[lvl])
 
     x = _nsmooth(lev, kind, x, b, settings, "up", periodic,
                  settings.nrelax_post)
@@ -99,22 +106,30 @@ def fmg_cycle(
     b: jnp.ndarray,
     settings: MLSettings,
     periodic=(False, False, False),
+    constraints=None,
 ):
     """Full multigrid cycle (reference: fcycle.h:49-84).  Returns x."""
     if lvl == len(levels) - 1:
         return cg.solve_cg(levels[lvl].ainv, b)
     coarse = levels[lvl + 1]
     cb = restrict(coarse.ci, b, periodic)
-    cx = fmg_cycle(levels, kinds, lvl + 1, cb, settings, periodic)
+    if constraints is not None:
+        cb = jax.lax.with_sharding_constraint(cb, constraints[lvl + 1])
+    cx = fmg_cycle(levels, kinds, lvl + 1, cb, settings, periodic,
+                   constraints)
     zero = jnp.zeros_like(b)
     x = interp_add(coarse.ci, levels[lvl].so, cx, zero, zero, periodic)
-    return ncycle(levels, kinds, lvl, x, b, settings, periodic)
+    return ncycle(levels, kinds, lvl, x, b, settings, periodic, 1,
+                  constraints)
 
 
-def run_cycle(levels, kinds, x, b, settings: MLSettings, periodic):
+def run_cycle(levels, kinds, x, b, settings: MLSettings, periodic,
+              constraints=None):
     """One cycle of the configured type (reference: multilevel.h:289-296)."""
     if len(levels) == 1:
         return cg.solve_cg(levels[0].ainv, b)
     if settings.cycle.value == "f":
-        return fmg_cycle(levels, kinds, 0, b, settings, periodic)
-    return ncycle(levels, kinds, 0, x, b, settings, periodic)
+        return fmg_cycle(levels, kinds, 0, b, settings, periodic,
+                         constraints)
+    return ncycle(levels, kinds, 0, x, b, settings, periodic, 1,
+                  constraints)

@@ -174,13 +174,15 @@ class Solver2:
             indefinite=self.indefinite,
         )
 
+        self.constraints = None  # distributed solvers set per-level shardings
         self._solve_jit = jax.jit(self._solve_impl)
         self._cycle_jit = jax.jit(self._cycle_impl)
 
     # -- jitted bodies -------------------------------------------------------
     def _cycle_impl(self, levels, x, b):
         return run_cycle(
-            levels, self.kinds, x, b, self.settings, self.periodic
+            levels, self.kinds, x, b, self.settings, self.periodic,
+            self.constraints,
         )
 
     def _solve_impl(self, levels, b, x0):
@@ -198,7 +200,8 @@ class Solver2:
         def body(carry):
             i, x, rel, hist = carry
             x = run_cycle(
-                levels, self.kinds, x, b, settings, self.periodic
+                levels, self.kinds, x, b, settings, self.periodic,
+                self.constraints,
             )
             r = residual(fine.so, x, b, self.kinds[0], self.periodic)
             rel = _l2(r) / res0

@@ -14,13 +14,10 @@ import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_default_device", jax.devices("cpu")[0])
-# Persistent compilation cache: whole-cycle graphs are expensive to compile
-# on the CPU backend; repeated test runs hit the cache.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), os.pardir, ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NB: do NOT enable the persistent compilation cache here — XLA:CPU AOT
+# entries written under one set of target machine features (e.g. when the
+# TPU plugin is the default backend) mis-execute when loaded in another
+# context (observed as silently wrong kernel outputs).
 
 import pytest  # noqa: E402
 

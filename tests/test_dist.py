@@ -1,0 +1,145 @@
+"""Multi-device (sharded) execution tests on the virtual 8-CPU mesh.
+
+The analogue of the reference's MPI test tier (SURVEY §4): halo-exchange
+property tests become sharded-vs-unsharded exactness checks per kernel (XLA
+inserts the halo collective-permutes for the shifted reads); the
+coarse-solver equivalence tests (LU vs redistributed, <1e-10 at np=16,
+test/2d/mpi/test_cgredist.cc) become sharded-vs-serial solve agreement
+under different agglomeration policies.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from cedar_tpu import FivePt, SevenPt, Solver2, Solver3, gallery
+from cedar_tpu.config import Config
+from cedar_tpu.core.types import StencilKind
+from cedar_tpu.parallel import DistSolver2, DistSolver3, make_mesh
+from cedar_tpu.parallel.policy import batched_sharding, func_sharding
+from cedar_tpu.ops.relax2 import point_relax, setup_recip
+from cedar_tpu.ops.stencil2 import residual as residual2
+from cedar_tpu.ops.interp2 import interp_add, restrict, setup_interp
+from cedar_tpu.ops.stencil3 import residual as residual3
+
+
+@pytest.fixture(scope="module")
+def mesh2():
+    return make_mesh(2, devices=jax.devices("cpu"))
+
+
+@pytest.fixture(scope="module")
+def mesh3():
+    return make_mesh(3, devices=jax.devices("cpu"))
+
+
+CONF = {"log": [], "solver": {"tol": 1e-9, "max-iter": 30}}
+
+
+def test_mesh_shapes(mesh2, mesh3):
+    assert int(np.prod(list(mesh2.shape.values()))) == 8
+    assert tuple(mesh3.shape.values()) == (2, 2, 2)
+
+
+def test_halo_kernel_exactness(mesh2):
+    """Sharded kernels must equal unsharded to reassociation roundoff (no
+    reductions are involved; only the fusion order of the stencil-term sums
+    may differ): the sharded-boundary reads are XLA's halo exchange — the
+    analogue of the reference's ghost-value property tests
+    (test/2d/mpi/test_halo.h)."""
+    rng = np.random.default_rng(5)
+    nx, ny = 64, 32
+    from test_kernels_2d import random_so
+
+    so = jnp.asarray(random_so(rng, nx, ny, True))
+    q = jnp.asarray(rng.standard_normal((nx, ny)))
+    b = jnp.asarray(rng.standard_normal((nx, ny)))
+    kind = StencilKind.nine_pt
+
+    sh_f = func_sharding(mesh2, P("x", "y"))
+    sh_so = batched_sharding(mesh2, P("x", "y"), 1)
+    so_s = jax.device_put(so, sh_so)
+    q_s = jax.device_put(q, sh_f)
+    b_s = jax.device_put(b, sh_f)
+
+    rec = setup_recip(so)
+    for updown in ("down", "up"):
+        ref = point_relax(so, q, b, rec, kind, updown)
+        got = jax.jit(
+            lambda s, x, y: point_relax(
+                s, x, y, setup_recip(s), kind, updown  # noqa: B023
+            )
+        )(so_s, q_s, b_s)
+        np.testing.assert_allclose(
+            np.asarray(ref), np.asarray(got), atol=1e-13)
+
+    ref = residual2(so, q, b, kind)
+    got = jax.jit(lambda s, x, y: residual2(s, x, y, kind))(so_s, q_s, b_s)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-13)
+
+    ci = setup_interp(so, kind)
+    ref = restrict(ci, q)
+    got = jax.jit(restrict)(jax.device_put(ci, batched_sharding(
+        mesh2, P(None, None), 1)), q_s)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-13)
+
+
+def test_dist2_matches_serial(mesh2):
+    n = 96
+    so = gallery.poisson(n, n)
+    b = gallery.poisson_rhs(n, n)
+    s_ser = Solver2(so, FivePt, Config(CONF))
+    x_ser = s_ser.solve(b)
+    s_dist = DistSolver2(so, FivePt, Config(CONF), mesh2)
+    # fine level sharded over both axes, coarse levels agglomerated
+    assert s_dist.specs[0] == P("x", "y")
+    assert s_dist.specs[-1] == P(None, None)
+    x_dist = s_dist.solve(b)
+    assert len(s_dist.history) == len(s_ser.history)
+    assert float(jnp.max(jnp.abs(x_ser - jax.device_get(x_dist)))) < 1e-12
+
+
+def test_dist2_agglomeration_equivalence(mesh2):
+    """Different agglomeration thresholds agree (reference: LU vs manual
+    redistribution path agree <1e-10, test/2d/mpi/test_cgredist.cc)."""
+    n = 64
+    so = gallery.poisson(n, n)
+    b = gallery.poisson_rhs(n, n)
+    eager = DistSolver2(so, FivePt, Config(dict(CONF)), mesh2)
+    lazy_conf = dict(CONF)
+    lazy_conf["redist"] = {"min-local": 10**9}  # replicate everything
+    lazy = DistSolver2(so, FivePt, Config(lazy_conf), mesh2)
+    assert eager.specs[0] != lazy.specs[0]
+    xa = eager.solve(b)
+    xb = lazy.solve(b)
+    assert float(jnp.max(jnp.abs(xa - xb))) < 1e-10
+
+
+def test_dist3_matches_serial(mesh3):
+    n = 24
+    so = gallery.poisson3(n, n, n)
+    b = gallery.poisson3_rhs(n, n, n)
+    s_ser = Solver3(so, SevenPt, Config(CONF))
+    x_ser = s_ser.solve(b)
+    s_dist = DistSolver3(so, SevenPt, Config(CONF), mesh3)
+    assert s_dist.specs[0] == P("x", "y", "z")
+    x_dist = s_dist.solve(b)
+    r = residual3(so, jax.device_get(x_dist), b, SevenPt)
+    rel = float(jnp.sqrt(jnp.sum(r * r)) / jnp.sqrt(jnp.sum(b * b)))
+    assert rel < 1e-9
+    assert float(jnp.max(jnp.abs(x_ser - jax.device_get(x_dist)))) < 1e-12
+
+
+def test_dist2_irregular_size(mesh2):
+    """Non-divisible fine extents: axes fall back to replication but the
+    solve still distributes what it can and stays correct."""
+    n = 75
+    so = gallery.poisson(n, 64)
+    b = gallery.poisson_rhs(n, 64)
+    s_dist = DistSolver2(so, FivePt, Config(CONF), mesh2)
+    x = s_dist.solve(b)
+    r = residual2(so, jax.device_get(x), b, FivePt)
+    rel = float(jnp.sqrt(jnp.sum(r * r)) / jnp.sqrt(jnp.sum(b * b)))
+    assert rel < 1e-9

@@ -74,7 +74,10 @@ def coarsen_op_comb(
         xf = interp_add(ci, so, qc, zf, zf)
         return restrict(ci, matvec(so, xf, kind))
 
-    results = jax.vmap(probe)(combs)  # (9, *nc)
+    # sequential map over probes: vmap would hold 9 fine-grid probe
+    # intermediates live at once (OOM at bench sizes); setup is not
+    # latency-critical
+    results = jax.lax.map(probe, combs)  # (9, *nc)
 
     def entry(di, dj):
         j = (iz[:, None] + di) % 3 * 3 + (iw[None, :] + dj) % 3

@@ -83,7 +83,10 @@ def coarsen_op_comb(
         xf = interp_add(ci, so, qc, zf, zf)
         return restrict(ci, matvec(so, xf, kind))
 
-    results = jax.vmap(probe)(combs)  # (27, *nc)
+    # sequential map over probes: vmap would hold 27 fine-grid probe
+    # intermediates live at once (OOM at bench sizes); setup is not
+    # latency-critical
+    results = jax.lax.map(probe, combs)  # (27, *nc)
 
     def entry(delta):
         j = (

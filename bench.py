@@ -3,38 +3,54 @@
 
 Measures end-to-end V(1,1)-cycle throughput (DOF/s) for the 2D Poisson
 5-point problem (BASELINE.json config 1) on the default JAX device, and
-validates the convergence factor against the reference's ~0.10/cycle
-(BASELINE.md).  Prints ONE JSON line:
+validates correctness by matching the reference's published residual
+history (README.md:49-62 of /root/reference; see BASELINE.md) on the 400²
+problem in float64.  Prints ONE JSON line:
 
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
 The reference publishes no throughput numbers (SURVEY §6), so vs_baseline
-compares against a speed-of-light model instead: the V-cycle's minimum HBM
-traffic divided by the chip's peak memory bandwidth (v5e: 819 GB/s) — i.e.
+compares against a speed-of-light model: the V-cycle's minimum HBM traffic
+divided by the chip's peak memory bandwidth (v5e: 819 GB/s) — i.e.
 vs_baseline = fraction of memory-bound speed-of-light achieved.
+
+Timing methodology: the remote TPU runtime acknowledges dispatch before
+execution completes, so cycles are chained inside ONE jitted lax.fori_loop
+and a scalar is fetched to force completion.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+CEDAR_HISTORY = [
+    0.388629, 0.0443548, 0.00494131, 0.000513399, 5.44908e-05,
+    5.60612e-06, 5.86933e-07, 6.04942e-08, 6.30975e-09, 6.52713e-10,
+]
 
 
 def vcycle_traffic_bytes(nx, ny, nrelax=2, dtype_bytes=4):
-    """Minimum HBM bytes touched by one V-cycle (all levels).
+    """Minimum HBM bytes touched by one V(1,1)-cycle (all levels).
 
-    Per level: each relaxation color phase reads q, b, stencil (~5 planes)
-    and writes q; residual/restrict/interp each stream the level once.
-    Geometric sum over levels ≈ 4/3 of the fine level.
+    Fine level: each of the nrelax sweeps streams q, b, 3 stencil planes
+    and writes q; the residual is fused with the last pre-smooth; restrict
+    reads res + CI (8 half-resolution planes) and writes the coarse rhs;
+    interp_add reads CI + res + coarse x and updates q.  Coarse levels
+    (9-point) have 5 stencil planes; geometric sum ≈ 4/3 at equal
+    per-point cost (slightly conservative).
     """
     n = nx * ny
-    # fine level: nrelax sweeps × 2 colors × (read 5 stencil + q + b, write q)
-    per_sweep = 2 * (5 + 2 + 1) * n
-    relax = nrelax * per_sweep
-    residual = (5 + 2 + 1) * n
-    transfer = 3 * n  # restrict read + interp read/write (coarse ~ n/4)
-    level = (relax + residual + transfer) * dtype_bytes
+    relax = nrelax * (5 + 1) * n           # 3 so + q + b read, q write
+    residual_fused = 0                     # folded into the last sweep
+    restrict = (1 + 2 + 0.25) * n          # res + CI(8 quarter-size) + rhs
+    interp = (1 + 2 + 0.25 + 1) * n
+    level = (relax + residual_fused + restrict + interp) * dtype_bytes
     return level * 4 / 3
 
 
@@ -42,6 +58,40 @@ def main():
     from cedar_tpu import FivePt, Solver2, gallery
     from cedar_tpu.config import Config
 
+    # -- correctness gate: reference residual history, 400² float64 ---------
+    # f64 + CPU in a subprocess (x64 must be set before jax initializes,
+    # and the throughput run below wants the default f32 TPU config)
+    gate_src = (
+        "import jax;"
+        "jax.config.update('jax_enable_x64', True);"
+        "jax.config.update('jax_default_device', jax.devices('cpu')[0]);"
+        "from cedar_tpu import FivePt, Solver2, gallery;"
+        "from cedar_tpu.config import Config;"
+        "so = gallery.poisson(400, 400);"
+        "b = gallery.poisson_rhs(400, 400);"
+        "s = Solver2(so, FivePt, Config({'log': [], 'kernels':"
+        " {'backend': 'xla'}, 'solver': {'num-levels': 7,"
+        " 'cycle': {'nrelax-pre': 1, 'nrelax-post': 1},"
+        " 'tol': 1e-10, 'max-iter': 10}}));"
+        "s.solve(b);"
+        "print('HIST', ' '.join(f'{h:.8e}' for h in s.history))"
+    )
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", gate_src],
+            capture_output=True, text=True, timeout=600,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        hist_line = [ln for ln in out.stdout.splitlines()
+                     if ln.startswith("HIST")][0]
+        hist = [float(v) for v in hist_line.split()[1:]]
+        hist_ok = bool(
+            len(hist) == 10 and np.allclose(hist, CEDAR_HISTORY, rtol=2e-5)
+        )
+    except (IndexError, subprocess.SubprocessError):
+        hist_ok = False
+
+    # -- throughput: 4096² float32 V(1,1) ----------------------------------
     n = 4096
     dtype = jnp.float32
     conf = Config({
@@ -57,25 +107,24 @@ def main():
     solver = Solver2(so, FivePt, conf)
     jax.block_until_ready(solver.levels)
 
-    # correctness gate: convergence factor over the first cycles ~ 0.10
-    x = solver.solve(b)
-    hist = solver.history
-    factor = (hist[2] / hist[0]) ** 0.5 if len(hist) >= 3 else 1.0
-
-    # throughput: chained V-cycles
-    x = jnp.zeros_like(b)
-    x = solver.vcycle(x, b)
-    jax.block_until_ready(x)  # compile
     reps = 50
+
+    @jax.jit
+    def run(levels, x, b):
+        def body(i, x):
+            return solver._cycle_impl(levels, x, b)
+
+        return jax.lax.fori_loop(0, reps, body, x)
+
+    x = run(solver.levels, jnp.zeros_like(b), b)
+    float(jnp.sum(x))  # warm-up + force
     t0 = time.perf_counter()
-    for _ in range(reps):
-        x = solver.vcycle(x, b)
-    jax.block_until_ready(x)
+    x = run(solver.levels, jnp.zeros_like(b), b)
+    float(jnp.sum(x))
     dt = (time.perf_counter() - t0) / reps
 
     dof_s = n * n / dt
-    sol_bytes = vcycle_traffic_bytes(n, n)
-    sol_time = sol_bytes / 819e9  # v5e HBM peak
+    sol_time = vcycle_traffic_bytes(n, n) / 819e9  # v5e HBM peak
     frac_sol = sol_time / dt
 
     print(json.dumps({
@@ -87,7 +136,7 @@ def main():
             "grid": [n, n],
             "dtype": "float32",
             "cycle_ms": round(dt * 1e3, 4),
-            "conv_factor_first_cycles": round(factor, 4),
+            "matches_reference_history_400sq_f64": hist_ok,
             "device": str(jax.devices()[0]),
         },
     }))

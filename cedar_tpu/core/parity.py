@@ -79,32 +79,50 @@ def deinterleave2_conv(a: jnp.ndarray):
     return out
 
 
+def _merge_axis(lo: jnp.ndarray, hi: jnp.ndarray, axis: int, n: int):
+    """Interleave two subgrids along ``axis`` (lo -> even, hi -> odd).
+
+    stack-on-(axis+1) + reshape — a contiguous layout op XLA:TPU lowers
+    near-bandwidth, unlike lhs-dilated convs or strided scatters (measured
+    at 4096² f32: 1.9 ms vs 29/84 ms)."""
+    m = max(lo.shape[axis], hi.shape[axis])
+
+    def padto(a):
+        if a.shape[axis] == m:
+            return a
+        pads = [(0, 0)] * a.ndim
+        pads[axis] = (0, m - a.shape[axis])
+        return jnp.pad(a, pads)
+
+    out = jnp.stack([padto(lo), padto(hi)], axis=axis + 1)
+    shape = list(lo.shape)
+    shape[axis] = 2 * m
+    out = out.reshape(shape)
+    if 2 * m != n:
+        out = jax.lax.slice_in_dim(out, 0, n, axis=axis)
+    return out
+
+
 def interleave2(parts: dict, nx: int, ny: int) -> jnp.ndarray:
     """Merge parity subgrids back into an (nx, ny) array (missing -> 0)."""
-    mz = (nx + 1) // 2
-    mw = (ny + 1) // 2
+    shapes = {
+        (pz, pw): ((nx + 1 - pz) // 2, (ny + 1 - pw) // 2)
+        for pz, pw in _PARITIES
+    }
     dtype = None
     for v in parts.values():
         dtype = v.dtype
         break
-    chans = []
-    for pz, pw in _PARITIES:
-        v = parts.get((pz, pw))
-        if v is None:
-            v = jnp.zeros((mz, mw), dtype)
-        else:
-            v = jnp.pad(v, ((0, mz - v.shape[0]), (0, mw - v.shape[1])))
-        chans.append(v)
-    p = jnp.stack(chans, axis=-1)[None]  # (1, mz, mw, 4)
-    y = jax.lax.conv_general_dilated(
-        p,
-        _inter_kernel(dtype),
-        window_strides=(1, 1),
-        padding=((1, 1), (1, 1)),
-        lhs_dilation=(2, 2),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )[0, :, :, 0]
-    return y[:nx, :ny]
+    full = {
+        p: (parts[p] if parts.get(p) is not None
+            else jnp.zeros(shapes[p], dtype))
+        for p in _PARITIES
+    }
+    rows = {
+        pz: _merge_axis(full[(pz, 0)], full[(pz, 1)], 1, ny)
+        for pz in (0, 1)
+    }
+    return _merge_axis(rows[0], rows[1], 0, nx)
 
 
 def deinterleave3(a: jnp.ndarray):
@@ -126,32 +144,33 @@ def deinterleave3(a: jnp.ndarray):
 
 
 def interleave3(parts: dict, n0: int, n1: int, n2: int) -> jnp.ndarray:
-    """Merge 3D parity subgrids back into (n0, n1, n2) (missing -> 0)."""
-    ms = ((n0 + 1) // 2, (n1 + 1) // 2, (n2 + 1) // 2)
+    """Merge 3D parity subgrids back into (n0, n1, n2) (missing -> 0).
+
+    Axis-by-axis :func:`_merge_axis` (last axis first), like
+    :func:`interleave2`."""
+    ns = (n0, n1, n2)
     dtype = None
     for v in parts.values():
         dtype = v.dtype
         break
-    blocks = []
-    for p0 in (0, 1):
-        rows = []
-        for p1 in (0, 1):
-            row = []
-            for p2 in (0, 1):
-                v = parts.get((p0, p1, p2))
-                if v is None:
-                    v = jnp.zeros(ms, dtype)
-                else:
-                    v = jnp.pad(
-                        v,
-                        tuple((0, ms[ax] - v.shape[ax]) for ax in range(3)),
-                    )
-                row.append(v)
-            rows.append(jnp.stack(row, axis=-1))  # (m0, m1, m2, 2)
-        blocks.append(jnp.stack(rows, axis=2))  # (m0, m1, 2, m2, 2)
-    stacked = jnp.stack(blocks, axis=1)  # (m0, 2, m1, 2, m2, 2)
-    out = stacked.reshape(2 * ms[0], 2 * ms[1], 2 * ms[2])
-    return out[:n0, :n1, :n2]
+
+    def shape_of(p):
+        return tuple((ns[d] + 1 - p[d]) // 2 for d in range(3))
+
+    full = {
+        p: (parts[p] if parts.get(p) is not None
+            else jnp.zeros(shape_of(p), dtype))
+        for p in [(a, b, c) for a in (0, 1) for b in (0, 1) for c in (0, 1)]
+    }
+    m2 = {
+        (p0, p1): _merge_axis(full[(p0, p1, 0)], full[(p0, p1, 1)], 2, n2)
+        for p0 in (0, 1) for p1 in (0, 1)
+    }
+    m1 = {
+        p0: _merge_axis(m2[(p0, 0)], m2[(p0, 1)], 1, n1)
+        for p0 in (0, 1)
+    }
+    return _merge_axis(m1[0], m1[1], 0, n0)
 
 
 def subgrid_sample(sub: jnp.ndarray, dz: int, dw: int, out_shape):

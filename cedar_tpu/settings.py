@@ -92,6 +92,9 @@ class MLSettings:
     coarse_config: Config | None = None
     rsettings: RedistSettings | None = None
     plane_settings: "MLSettings | None" = None
+    # "xla" | "pallas": resolved from config "kernels.backend" ("auto" picks
+    # pallas on TPU) by the solver constructors
+    kernel_backend: str = "xla"
 
     @classmethod
     def from_config(cls, conf: Config) -> "MLSettings":

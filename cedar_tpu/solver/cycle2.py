@@ -20,6 +20,15 @@ from cedar_tpu.ops.relax2 import point_relax
 from cedar_tpu.ops.lines2 import line_relax_x, line_relax_y
 from cedar_tpu.ops.stencil2 import residual
 from cedar_tpu.settings import MLSettings, RelaxType
+from cedar_tpu.utils.timing import scope
+
+
+def _use_pallas(settings, kind, shape, dtype, periodic):
+    if settings.kernel_backend != "pallas" or any(periodic):
+        return False
+    from cedar_tpu.ops import pallas2
+
+    return pallas2.supported(shape, dtype, kind)
 
 
 def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic):
@@ -30,6 +39,12 @@ def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic):
     """
     rt = settings.relaxation
     if rt == RelaxType.point:
+        if _use_pallas(settings, kind, x.shape, x.dtype, periodic):
+            from cedar_tpu.ops import pallas2
+
+            return pallas2.point_relax(
+                lev.so, x, b, lev.recip, kind, updown
+            )
         return point_relax(lev.so, x, b, lev.recip, kind, updown, periodic)
     if rt == RelaxType.line_x:
         return line_relax_x(lev.so, x, b, lev.sor_x, kind, updown, periodic)
@@ -73,30 +88,51 @@ def ncycle(
     lev = levels[lvl]
     kind = kinds[lvl]
 
-    x = _nsmooth(lev, kind, x, b, settings, "down", periodic,
-                 settings.nrelax_pre)
+    if (
+        settings.relaxation == RelaxType.point
+        and settings.nrelax_pre >= 1
+        and _use_pallas(settings, kind, x.shape, x.dtype, periodic)
+    ):
+        # fused final pre-smooth + residual: one HBM pass for both
+        from cedar_tpu.ops import pallas2
 
-    res = residual(lev.so, x, b, kind, periodic)
+        with scope("relaxation"):
+            x = _nsmooth(lev, kind, x, b, settings, "down", periodic,
+                         settings.nrelax_pre - 1)
+        with scope("relaxation-residual-fused"):
+            x, res = pallas2.point_relax(
+                lev.so, x, b, lev.recip, kind, "down", fuse_residual=True
+            )
+    else:
+        with scope("relaxation"):
+            x = _nsmooth(lev, kind, x, b, settings, "down", periodic,
+                         settings.nrelax_pre)
+        with scope("residual"):
+            res = residual(lev.so, x, b, kind, periodic)
     coarse = levels[lvl + 1]
-    cb = restrict(coarse.ci, res, periodic)
+    with scope("restrict"):
+        cb = restrict(coarse.ci, res, periodic)
     if constraints is not None:
         # agglomeration point: pin the coarse level's (sub)mesh placement
         cb = jax.lax.with_sharding_constraint(cb, constraints[lvl + 1])
 
     if lvl + 1 == len(levels) - 1:
-        cx = cg.solve_cg(coarse.ainv, cb)
+        with scope("coarse-solve"):
+            cx = cg.solve_cg(coarse.ainv, cb)
     else:
         cx = jnp.zeros_like(cb)
         for _ in range(n):
             cx = ncycle(levels, kinds, lvl + 1, cx, cb, settings, periodic,
                         n, constraints)
 
-    x = interp_add(coarse.ci, lev.so, cx, res, x, periodic)
+    with scope("interp-add"):
+        x = interp_add(coarse.ci, lev.so, cx, res, x, periodic)
     if constraints is not None:
         x = jax.lax.with_sharding_constraint(x, constraints[lvl])
 
-    x = _nsmooth(lev, kind, x, b, settings, "up", periodic,
-                 settings.nrelax_post)
+    with scope("relaxation"):
+        x = _nsmooth(lev, kind, x, b, settings, "up", periodic,
+                     settings.nrelax_post)
     return x
 
 

@@ -17,6 +17,7 @@ from cedar_tpu.ops import cg
 from cedar_tpu.ops.interp3 import interp_add, restrict
 from cedar_tpu.ops.relax3 import point_relax
 from cedar_tpu.settings import MLSettings, RelaxType
+from cedar_tpu.utils.timing import scope
 from cedar_tpu.ops.stencil3 import residual
 
 
@@ -72,30 +73,36 @@ def ncycle(
     lev = levels[lvl]
     kind = kinds[lvl]
 
-    x = _nsmooth(lev, kind, x, b, settings, "down", periodic,
-                 settings.nrelax_pre)
+    with scope("relaxation"):
+        x = _nsmooth(lev, kind, x, b, settings, "down", periodic,
+                     settings.nrelax_pre)
 
-    res = residual(lev.so, x, b, kind, periodic)
+    with scope("residual"):
+        res = residual(lev.so, x, b, kind, periodic)
     coarse = levels[lvl + 1]
-    cb = restrict(coarse.ci, res, periodic)
+    with scope("restrict"):
+        cb = restrict(coarse.ci, res, periodic)
     if constraints is not None:
         # agglomeration point: pin the coarse level's (sub)mesh placement
         cb = jax.lax.with_sharding_constraint(cb, constraints[lvl + 1])
 
     if lvl + 1 == len(levels) - 1:
-        cx = cg.solve_cg(coarse.ainv, cb)
+        with scope("coarse-solve"):
+            cx = cg.solve_cg(coarse.ainv, cb)
     else:
         cx = jnp.zeros_like(cb)
         for _ in range(n):
             cx = ncycle(levels, kinds, lvl + 1, cx, cb, settings, periodic,
                         n, constraints)
 
-    x = interp_add(coarse.ci, lev.so, cx, res, x, periodic)
+    with scope("interp-add"):
+        x = interp_add(coarse.ci, lev.so, cx, res, x, periodic)
     if constraints is not None:
         x = jax.lax.with_sharding_constraint(x, constraints[lvl])
 
-    x = _nsmooth(lev, kind, x, b, settings, "up", periodic,
-                 settings.nrelax_post)
+    with scope("relaxation"):
+        x = _nsmooth(lev, kind, x, b, settings, "up", periodic,
+                     settings.nrelax_post)
     return x
 
 

@@ -32,6 +32,7 @@ from cedar_tpu.settings import MLSettings, RelaxType
 from cedar_tpu.solver.cycle2 import run_cycle
 from cedar_tpu.solver.level import Level
 from cedar_tpu.utils import log
+from cedar_tpu.utils.timing import TimeLog
 
 
 def compute_num_levels(nx: int, ny: int, min_coarse: int) -> int:
@@ -150,6 +151,16 @@ class Solver2:
         self.settings = MLSettings.from_config(conf)
         log.set_enabled(conf.get("log", ["status", "error"]))
         self.kind = kind
+        kb = conf.get("kernels.backend", "auto")
+        if kb == "auto":
+            dd = jax.config.jax_default_device
+            on_tpu = (
+                dd.platform == "tpu"
+                if dd is not None
+                else jax.default_backend() == "tpu"
+            )
+            kb = "pallas" if on_tpu else "xla"
+        self.settings.kernel_backend = kb
         per = conf.get("grid.periodic", [False, False])
         self.periodic = (bool(per[0]), bool(per[1]))
         self.indefinite = not conf.get("solver.definite", True)
@@ -165,6 +176,8 @@ class Solver2:
         self.kinds = [kind] + [StencilKind.nine_pt] * (nlevels - 1)
         log.debug(f"Using a {nlevels} level hierarchy")
 
+        self.timelog = TimeLog()
+        self.timelog.begin("setup")
         self.levels = setup_hierarchy(
             so,
             fine_kind=kind,
@@ -174,6 +187,7 @@ class Solver2:
             indefinite=self.indefinite,
         )
 
+        self.timelog.end("setup", force=self.levels)
         self.constraints = None  # distributed solvers set per-level shardings
         self._solve_jit = jax.jit(self._solve_impl)
         self._cycle_jit = jax.jit(self._cycle_impl)
@@ -222,8 +236,10 @@ class Solver2:
     def solve(self, b, x0=None):
         if x0 is None:
             x0 = jnp.zeros_like(b)
+        self.timelog.begin("solve")
         x, hist, iters, res0 = self._solve_jit(self.levels, b, x0)
         iters = int(iters)
+        self.timelog.end("solve", force=x)
         hist_host = [float(h) for h in hist[:iters]]
         log.info(f"Initial residual l2 norm: {float(res0):g}")
         for i, rel in enumerate(hist_host):
@@ -231,6 +247,14 @@ class Solver2:
         self.history = hist_host
         self.res0 = float(res0)
         return x
+
+    def save_timings(self, fname: str = "timings.json"):
+        """Write the hierarchical timer report (reference: timings.json)."""
+        self.timelog.save(fname)
+        if log.enabled("timer"):
+            import json as _json
+
+            log.timer(_json.dumps(self.timelog.todict(), indent=2))
 
     @property
     def coarse_shape(self):

@@ -25,6 +25,7 @@ from cedar_tpu.settings import MLSettings, RelaxType
 from cedar_tpu.solver.cycle3 import run_cycle
 from cedar_tpu.solver.level import Level
 from cedar_tpu.utils import log
+from cedar_tpu.utils.timing import TimeLog
 
 
 def compute_num_levels(nx: int, ny: int, nz: int, min_coarse: int) -> int:
@@ -138,6 +139,8 @@ class Solver3:
         self.kinds = [kind] + [StencilKind.twenty_seven_pt] * (nlevels - 1)
         log.debug(f"Using a {nlevels} level hierarchy")
 
+        self.timelog = TimeLog()
+        self.timelog.begin("setup")
         self.levels = setup_hierarchy(
             so,
             fine_kind=kind,
@@ -156,6 +159,7 @@ class Solver3:
                 self.levels, self.kinds, self.settings, self.conf
             )
 
+        self.timelog.end("setup", force=self.levels)
         self.constraints = None  # distributed solvers set per-level shardings
         self._solve_jit = jax.jit(self._solve_impl)
         self._cycle_jit = jax.jit(self._cycle_impl)
@@ -203,8 +207,10 @@ class Solver3:
     def solve(self, b, x0=None):
         if x0 is None:
             x0 = jnp.zeros_like(b)
+        self.timelog.begin("solve")
         x, hist, iters, res0 = self._solve_jit(self.levels, b, x0)
         iters = int(iters)
+        self.timelog.end("solve", force=x)
         hist_host = [float(h) for h in hist[:iters]]
         log.info(f"Initial residual l2 norm: {float(res0):g}")
         for i, rel in enumerate(hist_host):
@@ -212,6 +218,14 @@ class Solver3:
         self.history = hist_host
         self.res0 = float(res0)
         return x
+
+    def save_timings(self, fname: str = "timings.json"):
+        """Write the hierarchical timer report (reference: timings.json)."""
+        self.timelog.save(fname)
+        if log.enabled("timer"):
+            import json as _json
+
+            log.timer(_json.dumps(self.timelog.todict(), indent=2))
 
     @property
     def coarse_shape(self):

@@ -84,9 +84,14 @@ class _DistMixin:
         strategy = conf.get("redist.search.strategy", "coarsen")
         path = conf.get("redist.search.path", None)
         min_local = conf.get("redist.min-local", 8)
+        machine = None
+        if strategy == "astar":
+            from cedar_tpu.perf import MachineParams
+
+            machine = MachineParams.from_config(conf)
         self.specs = level_specs(
             self.shapes, self.mesh, min_local=min_local,
-            strategy=strategy, path=path,
+            strategy=strategy, path=path, machine_params=machine,
         )
 
     def _shard_fine(self, so, conf, mesh):

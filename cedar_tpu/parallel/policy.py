@@ -28,6 +28,7 @@ def level_specs(
     min_local: int = 8,
     strategy: str = "coarsen",
     path=None,
+    machine_params=None,
 ):
     """PartitionSpec per level for grid functions of the given shapes.
 
@@ -37,27 +38,52 @@ def level_specs(
     replicated.  strategy "manual": ``path`` lists per-level mesh-axis
     usage as the per-axis process counts (reference
     test/2d/mpi/test-cgredist-1.json), mapped to use/drop of each axis.
+    strategy "astar": A*-searched schedule from the analytic machine model
+    (reference: perf_factory::astar_vcycle + ss/astar.h).
     """
     axes = mesh.axis_names
+    ndim = len(shapes[0])
+
+    def feasible(lvl, d):
+        """XLA requires committed shardings to divide evenly; coarse
+        levels with odd extents therefore replicate along the axis — on
+        ICI this IS the reference's redundant redistribution mode."""
+        nd = mesh.shape[axes[d]]
+        shape = shapes[lvl]
+        return nd > 1 and shape[d] % nd == 0 and shape[d] // nd >= min_local
+
+    if strategy == "astar":
+        # optimal monotone agglomeration schedule from the analytic machine
+        # model (cedar_tpu.perf; reference: perf_factory::astar_vcycle)
+        from cedar_tpu.perf import MachineParams, search_schedule
+
+        machine = machine_params or MachineParams()
+        allowed = [
+            sum(1 << d for d in range(ndim) if feasible(lvl, d))
+            for lvl in range(len(shapes))
+        ]
+        mesh_dims = [mesh.shape[ax] for ax in axes[:ndim]]
+        stencil_fine = 5 if ndim == 2 else 7
+        stencil_coarse = 9 if ndim == 2 else 27
+        masks, _ = search_schedule(
+            shapes, mesh_dims, allowed, machine,
+            stencil_fine=stencil_fine, stencil_coarse=stencil_coarse,
+        )
+        return [
+            P(*[axes[d] if mask >> d & 1 else None for d in range(ndim)])
+            for mask in masks
+        ]
+
     specs = []
     for lvl, shape in enumerate(shapes):
-        ndim = len(shape)
         names = []
         for d in range(ndim):
-            ax = axes[d]
-            nd = mesh.shape[ax]
-            # XLA requires committed shardings to divide evenly; coarse
-            # levels with odd extents therefore replicate along the axis —
-            # on ICI this IS the reference's redundant redistribution mode.
-            use = (
-                nd > 1
-                and shape[d] % nd == 0
-                and shape[d] // nd >= min_local
-            )
+            use = feasible(lvl, d)
             if strategy == "manual" and path is not None:
                 ent = path[min(lvl, len(path) - 1)]
+                nd = mesh.shape[axes[d]]
                 use = use and (d < len(ent) and ent[d] >= nd)
-            names.append(ax if use else None)
+            names.append(axes[d] if use else None)
         specs.append(P(*names))
     return specs
 

@@ -158,6 +158,16 @@ def setup_interp(
     ci = ci.at[L.LSE, 1 : 1 + kx, 1 : 1 + my].set(deinterleave2(lse_d)[(1, 1)])
     ci = ci.at[L.LNW, 1 : 1 + kx, 1 : 1 + my].set(deinterleave2(lnw_d)[(1, 1)])
     ci = ci.at[L.LNE, 1 : 1 + kx, 1 : 1 + my].set(deinterleave2(lne_d)[(1, 1)])
+
+    # periodic wrap: fine point -1 ≡ nx-1, so index 0 of the planes stored
+    # at odd x-parity mirrors the high entry kx (requires even nx, the
+    # standard periodic-coarsening compatibility); likewise in y.
+    if periodic[0]:
+        for p in (L.LL, L.LR, L.LSW, L.LNW, L.LNE, L.LSE):
+            ci = ci.at[p, 0, :].set(ci[p, kx, :])
+    if periodic[1]:
+        for p in (L.LA, L.LB, L.LSW, L.LNW, L.LNE, L.LSE):
+            ci = ci.at[p, :, 0].set(ci[p, :, my])
     return ci
 
 
@@ -248,8 +258,13 @@ def interp_add(
     kx = nx // 2
     my = ny // 2
     r2p = deinterleave2(res / so[Dir2.O])
-    # zero-padded coarse solution: index nxc/nyc reads as 0
+    # padded coarse solution: index nxc/nyc reads 0 (Dirichlet) or wraps to
+    # coarse index 0 (periodic)
     qcp = jnp.pad(qc, ((0, 1), (0, 1)))
+    if periodic[0]:
+        qcp = qcp.at[nxc, :].set(qcp[0, :])
+    if periodic[1]:
+        qcp = qcp.at[:, nyc].set(qcp[:, 0])
 
     parts = {(0, 0): qc}
 

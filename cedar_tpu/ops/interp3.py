@@ -274,6 +274,22 @@ def setup_interp(
     for delta, arr in cc.items():
         plane = _PLANE_OF[delta]
         ci = ci.at[(plane,) + win].set(deint(arr)[(1, 1, 1)])
+
+    # periodic wrap: fine point -1 ≡ n-1, so index 0 of planes stored at
+    # odd parity along a periodic axis mirrors the high entry (requires
+    # even extents along periodic axes)
+    his = (kx, my, lz)
+    for plane, delta in DELTA.items():
+        cat = tuple(1 if d else 0 for d in delta)
+        for ax in range(3):
+            if periodic[ax] and cat[ax]:
+                idx_lo = [slice(None)] * 3
+                idx_hi = [slice(None)] * 3
+                idx_lo[ax] = 0
+                idx_hi[ax] = his[ax]
+                ci = ci.at[(plane,) + tuple(idx_lo)].set(
+                    ci[(plane,) + tuple(idx_hi)]
+                )
     return ci
 
 
@@ -344,6 +360,13 @@ def interp_add(
     kx, my, lz = nx // 2, ny // 2, nz // 2
     r2p = deinterleave3(res / so[Dir3.P])
     qcp = jnp.pad(qc, ((0, 1), (0, 1), (0, 1)))
+    for ax, (per, n_c) in enumerate(zip(periodic, (nxc, nyc, nzc))):
+        if per:
+            idx_hi = [slice(None)] * 3
+            idx_lo = [slice(None)] * 3
+            idx_hi[ax] = n_c
+            idx_lo[ax] = 0
+            qcp = qcp.at[tuple(idx_hi)].set(qcp[tuple(idx_lo)])
 
     lo = {0: (slice(0, kx), slice(0, my), slice(0, lz))}
     # coarse-solution slices per axis: index 0 = toward lower coarse point,

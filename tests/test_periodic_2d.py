@@ -1,0 +1,109 @@
+"""Periodic boundary conditions, 2D.
+
+The reference supports per-axis periodicity via JPN flags in every kernel
+(e.g. BMG2_SymStd_relax_GS.f90 periodic branches, restrict ghost wraps) and
+an indefiniteness shift + mean subtraction in the coarse solve for the
+fully-periodic singular case (BMG2_SymStd_SOLVE_cg.f90:124-141).  Here
+periodicity is wrap-around shifts; these tests pin the x-periodic definite
+case against a scipy sparse direct solve.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from cedar_tpu import FivePt, Solver2
+from cedar_tpu.config import Config
+from cedar_tpu.core.types import Dir2, StencilKind
+from cedar_tpu.ops.stencil2 import matvec, residual
+
+
+def periodic_x_poisson(nx, ny):
+    """5-point Poisson, periodic in x, Dirichlet in y (definite)."""
+    so = np.zeros((3, nx, ny))
+    so[Dir2.W, :, :] = 1.0       # W at z=0 wraps to z=nx-1
+    so[Dir2.S, :, 1:] = 1.0
+    so[Dir2.O] = 4.0
+    return so
+
+
+def sparse_periodic(so, nshape, periodic):
+    from cedar_tpu.ops.stencil2 import full_offsets
+
+    af = full_offsets(jnp.asarray(so), StencilKind.five_pt, periodic)
+    n = int(np.prod(nshape))
+    A = sp.lil_matrix((n, n))
+    for (dz, dw), field in af.items():
+        f = np.asarray(field)
+        for z in range(nshape[0]):
+            for w in range(nshape[1]):
+                z2, w2 = z + dz, w + dw
+                if periodic[0]:
+                    z2 %= nshape[0]
+                if periodic[1]:
+                    w2 %= nshape[1]
+                if 0 <= z2 < nshape[0] and 0 <= w2 < nshape[1]:
+                    A[z * nshape[1] + w, z2 * nshape[1] + w2] += f[z, w]
+    return A.tocsr()
+
+
+def test_periodic_matvec_vs_sparse():
+    nx, ny = 16, 12
+    so = periodic_x_poisson(nx, ny)
+    per = (True, False)
+    A = sparse_periodic(so, (nx, ny), per)
+    assert abs(A - A.T).max() < 1e-14
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((nx, ny))
+    mv = np.asarray(matvec(jnp.asarray(so), jnp.asarray(q),
+                           StencilKind.five_pt, per))
+    np.testing.assert_allclose(
+        mv, (A @ q.reshape(-1)).reshape(nx, ny), atol=1e-13)
+
+
+def test_periodic_x_solve():
+    nx, ny = 32, 32
+    so = periodic_x_poisson(nx, ny)
+    per = (True, False)
+    rng = np.random.default_rng(1)
+    b = rng.standard_normal((nx, ny))
+    conf = Config({
+        "log": [],
+        "grid": {"periodic": [True, False]},
+        "solver": {"tol": 1e-10, "max-iter": 40},
+    })
+    s = Solver2(jnp.asarray(so), FivePt, conf)
+    x = s.solve(jnp.asarray(b))
+    r = residual(jnp.asarray(so), x, jnp.asarray(b),
+                 StencilKind.five_pt, per)
+    rel = float(jnp.sqrt(jnp.sum(r * r)) / np.linalg.norm(b))
+    assert rel < 1e-10
+    A = sparse_periodic(so, (nx, ny), per)
+    xd = spla.spsolve(A.tocsc(), b.reshape(-1)).reshape(nx, ny)
+    np.testing.assert_allclose(np.asarray(x), xd, atol=1e-8)
+
+
+def test_fully_periodic_singular():
+    """Doubly periodic Poisson is singular: the coarse solve applies the
+    reference's rank-deficiency shift (BMG2_SymStd_SETUP_cg_LU indefinite
+    branch) and the cycle converges on compatible right-hand sides."""
+    nx = ny = 32
+    so = np.zeros((3, nx, ny))
+    so[Dir2.W] = 1.0
+    so[Dir2.S] = 1.0
+    so[Dir2.O] = 4.0
+    rng = np.random.default_rng(2)
+    b = rng.standard_normal((nx, ny))
+    b -= b.mean()  # compatibility: b ⟂ null space
+    conf = Config({
+        "log": [],
+        "grid": {"periodic": [True, True]},
+        "solver": {"definite": False, "tol": 1e-10, "max-iter": 60},
+    })
+    s = Solver2(jnp.asarray(so), FivePt, conf)
+    x = s.solve(jnp.asarray(b))
+    r = residual(jnp.asarray(so), x, jnp.asarray(b),
+                 StencilKind.five_pt, (True, True))
+    rel = float(jnp.sqrt(jnp.sum(r * r)) / np.linalg.norm(b))
+    assert rel < 1e-10

@@ -52,8 +52,6 @@ def coarsen_op_comb(
     """A_c = Pᵀ A P by comb-basis probing: the 9 coarse-stencil offsets are
     distinct mod 3, so applying Pᵀ A P to the 9 mod-3 indicator combs
     recovers every row entry exactly (see galerkin3.coarsen_op_comb)."""
-    import numpy as np
-
     import jax
 
     from cedar_tpu.ops.interp2 import interp_add, restrict
@@ -63,10 +61,12 @@ def coarsen_op_comb(
     nf = (so.shape[1], so.shape[2])
     dtype = so.dtype
 
-    iz = np.arange(nc[0]) % 3
-    iw = np.arange(nc[1]) % 3
-    cls = (iz[:, None] * 3 + iw[None, :]).astype(np.int32)
-    combs = jnp.asarray(np.arange(9)[:, None, None] == cls[None], dtype)
+    # comb indicators built in-graph (host constants would bloat the HLO)
+    iz = jax.lax.broadcasted_iota(jnp.int32, nc, 0) % 3
+    iw = jax.lax.broadcasted_iota(jnp.int32, nc, 1) % 3
+    cls = iz * 3 + iw
+    combs = (jnp.arange(9, dtype=jnp.int32)[:, None, None]
+             == cls[None]).astype(dtype)
 
     zf = jnp.zeros(nf, dtype)
 
@@ -80,10 +80,8 @@ def coarsen_op_comb(
     results = jax.lax.map(probe, combs)  # (9, *nc)
 
     def entry(di, dj):
-        j = (iz[:, None] + di) % 3 * 3 + (iw[None, :] + dj) % 3
-        return jnp.take_along_axis(
-            results, jnp.asarray(j, jnp.int32)[None], axis=0
-        )[0]
+        j = (iz + di) % 3 * 3 + (iw + dj) % 3
+        return jnp.take_along_axis(results, j[None], axis=0)[0]
 
     o = entry(0, 0)
     w_ = -entry(-1, 0)

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from cedar_tpu.core.parity import deinterleave3
 from cedar_tpu.core.shift import coarse_sample, shift3
@@ -67,15 +66,15 @@ def coarsen_op_comb(
     nf = (so.shape[1], so.shape[2], so.shape[3])
     dtype = so.dtype
 
-    # 27 mod-3 comb indicator fields on the coarse grid
-    iz = np.arange(nc[0]) % 3
-    iw = np.arange(nc[1]) % 3
-    iv = np.arange(nc[2]) % 3
-    cls = (iz[:, None, None] * 9 + iw[None, :, None] * 3
-           + iv[None, None, :]).astype(np.int32)
-    combs = jnp.asarray(
-        np.arange(27)[:, None, None, None] == cls[None], dtype
-    )
+    # 27 mod-3 comb indicator fields on the coarse grid, built in-graph
+    # (a host-side constant would bake O(27 * coarse grid) bytes into the
+    # HLO — too large to ship at bench sizes)
+    iz = jax.lax.broadcasted_iota(jnp.int32, nc, 0) % 3
+    iw = jax.lax.broadcasted_iota(jnp.int32, nc, 1) % 3
+    iv = jax.lax.broadcasted_iota(jnp.int32, nc, 2) % 3
+    cls = iz * 9 + iw * 3 + iv
+    combs = (jnp.arange(27, dtype=jnp.int32)[:, None, None, None]
+             == cls[None]).astype(dtype)
 
     zf = jnp.zeros(nf, dtype)
 
@@ -90,13 +89,11 @@ def coarsen_op_comb(
 
     def entry(delta):
         j = (
-            (iz[:, None, None] + delta[0]) % 3 * 9
-            + (iw[None, :, None] + delta[1]) % 3 * 3
-            + (iv[None, None, :] + delta[2]) % 3
+            (iz + delta[0]) % 3 * 9
+            + (iw + delta[1]) % 3 * 3
+            + (iv + delta[2]) % 3
         )
-        return jnp.take_along_axis(
-            results, jnp.asarray(j, jnp.int32)[None], axis=0
-        )[0]
+        return jnp.take_along_axis(results, j[None], axis=0)[0]
 
     # assemble the 14 stored planes (see coarsen_op_explicit for the
     # canonical-offset derivation)

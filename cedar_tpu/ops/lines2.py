@@ -59,6 +59,50 @@ def setup_lines(so: jnp.ndarray, kind: StencilKind, axis: str) -> jnp.ndarray:
     return out
 
 
+def _shift0(a: jnp.ndarray, s: int, fill: float) -> jnp.ndarray:
+    """out[i] = a[i + s] along axis 0, filled with ``fill`` out of range."""
+    n = a.shape[0]
+    if s == 0:
+        return a
+    pad = jnp.full((abs(s),) + a.shape[1:], fill, a.dtype)
+    if s > 0:
+        return jnp.concatenate([a[s:], pad], axis=0)
+    return jnp.concatenate([pad, a[:s]], axis=0)
+
+
+def _pcr_solve(lo: jnp.ndarray, dg: jnp.ndarray, up: jnp.ndarray,
+               d: jnp.ndarray) -> jnp.ndarray:
+    """Parallel cyclic reduction for tridiagonal systems along axis 0.
+
+    ``lo[i]`` couples row i to i-1 (lo[0] = 0), ``up[i]`` to i+1
+    (up[n-1] = 0).  O(log n) data-parallel steps instead of the O(n)
+    sequential Thomas recurrence — the TPU-native formulation (the
+    reference's LAPACK DPTTRF/DPTTRS and Thomas loops are latency-bound
+    on a vector machine).  Out-of-range rows enter as identity equations
+    (diag 1, couplings/rhs 0).
+    """
+    n = d.shape[0]
+    s = 1
+    while s < n:
+        blo = _shift0(dg, -s, 1.0)
+        bhi = _shift0(dg, s, 1.0)
+        alpha = -lo / blo
+        gamma = -up / bhi
+        dg = (dg + alpha * _shift0(up, -s, 0.0)
+              + gamma * _shift0(lo, s, 0.0))
+        d = (d + alpha * _shift0(d, -s, 0.0)
+             + gamma * _shift0(d, s, 0.0))
+        lo = alpha * _shift0(lo, -s, 0.0)
+        up = gamma * _shift0(up, s, 0.0)
+        s *= 2
+    return d / dg
+
+
+# PCR beats the sequential scan once lines are long enough to be
+# latency-bound; short lines (coarse levels) keep the Thomas scan.
+_PCR_MIN_LEN = 64
+
+
 def _tridiag_solve(sor: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Solve LDLᵀ x = rhs along axis 0, batched over axis 1."""
     dinv, l = sor[0], sor[1]
@@ -141,9 +185,19 @@ def line_relax_x(
 ) -> jnp.ndarray:
     """One zebra x-line sweep (both colors)."""
     order = (1, 0) if updown == "down" else (0, 1)
+    use_pcr = q.shape[0] >= _PCR_MIN_LEN
+    if use_pcr:
+        diag = so[Dir2.O]
+        lo = -so[Dir2.W]
+        up = _shift0(lo, 1, 0.0)
     for parity in order:
         rhs = _line_rhs_x(so, q, b, kind, periodic)[:, parity::2]
-        sol = _tridiag_solve(sor[:, :, parity::2], rhs)
+        if use_pcr:
+            sol = _pcr_solve(
+                lo[:, parity::2], diag[:, parity::2], up[:, parity::2], rhs
+            )
+        else:
+            sol = _tridiag_solve(sor[:, :, parity::2], rhs)
         q = _set_rows(q, sol, parity)
     return q
 

@@ -138,3 +138,28 @@ def test_line_xy_on_variable_anisotropy():
     rel = float(jnp.sqrt(jnp.sum(r * r)) / jnp.sqrt(jnp.sum(b * b)))
     assert rel < 1e-9
     assert len(s.history) <= 15
+
+
+def test_pcr_matches_thomas():
+    """The PCR path (long lines) must agree with the sequential Thomas
+    factorization to roundoff."""
+    import cedar_tpu.ops.lines2 as L
+
+    rng = np.random.default_rng(11)
+    n, m = 128, 24
+    dg = jnp.asarray(rng.uniform(2.5, 3.5, (n, m)))
+    lo_np = np.concatenate(
+        [np.zeros((1, m)), rng.uniform(0.5, 1.0, (n - 1, m))]
+    )
+    lo = jnp.asarray(lo_np)
+    up = L._shift0(lo, 1, 0.0)
+    d = jnp.asarray(rng.standard_normal((n, m)))
+    x_pcr = L._pcr_solve(lo, dg, up, d)
+
+    # Thomas via the stored-stencil factorization: so[W] = -lo, so[O] = dg
+    so = jnp.stack([dg, -lo, jnp.zeros_like(dg)])
+    sor = L.setup_lines(so, StencilKind.five_pt, "x")
+    x_thomas = L._tridiag_solve(sor, d)
+    np.testing.assert_allclose(
+        np.asarray(x_pcr), np.asarray(x_thomas), atol=1e-11
+    )

@@ -1,13 +1,16 @@
-"""Parity (even/odd) grid decomposition via strided convolutions.
+"""Parity (even/odd) grid decomposition.
 
 Grid-transfer operators and multicolor sweeps constantly sample fine grids
-at stride 2 in both axes.  A double-strided slice (``q[::2, ::2]``) lowers to
-a pathological lane-gather on TPU (measured ~2.5 ms per op at 1024², versus
-~0.1 ms for the same bytes contiguous).  Instead we split a fine grid ONCE
-into its four parity subgrids with a single 2×2/stride-2 convolution (an
-optimized space-to-depth path in XLA:TPU), do all transfer arithmetic on
-contiguous subgrids, and merge back with one transposed (lhs-dilated)
-convolution.
+at stride 2 in both axes.  A double-strided slice (``q[::2, ::2]``) lowers
+to a pathological lane-gather on TPU (measured ~2.5 ms per op at 1024²,
+versus ~0.05 ms for the same bytes contiguous); lhs-dilated convolutions
+and strided scatters are worse still (29/84 ms per merge at 4096²).  The
+fast formulations, measured on v5e:
+
+* split: two single-axis stride-2 slices separated by an optimization
+  barrier (:func:`deinterleave2`);
+* merge: axis-by-axis stack-on-(axis+1) + reshape (:func:`_merge_axis`),
+  a contiguous layout op (1.9 ms at 4096² f32).
 
 This is the TPU replacement for the reference's strided Fortran loops
 (e.g. BMG2_SymStd_restrict.f90's ``i=i+2`` walks).
@@ -17,66 +20,9 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # channel order: (z parity, w parity)
 _PARITIES = [(0, 0), (0, 1), (1, 0), (1, 1)]
-
-
-def _deint_kernel(dtype):
-    k = np.zeros((2, 2, 1, 4), np.float64)
-    for c, (pz, pw) in enumerate(_PARITIES):
-        k[pz, pw, 0, c] = 1.0
-    return jnp.asarray(k, dtype)
-
-
-def _inter_kernel(dtype):
-    # flipped: channel (pz,pw) writes out[2a+pz, 2b+pw] under padding (1,1)
-    k = np.zeros((2, 2, 4, 1), np.float64)
-    for c, (pz, pw) in enumerate(_PARITIES):
-        k[1 - pz, 1 - pw, c, 0] = 1.0
-    return jnp.asarray(k, dtype)
-
-
-def deinterleave2(a: jnp.ndarray):
-    """Split (nx, ny) into parity subgrids.
-
-    Returns dict ``(pz, pw) -> subgrid`` with shapes
-    ``(ceil/floor(nx/2), ceil/floor(ny/2))`` according to parity.
-
-    Implemented as two single-axis strided slices separated by an
-    optimization barrier: each single-axis stride-2 slice is near-free on
-    TPU, while the fused double-strided slice is a pathological lane-gather
-    (measured ~2.5 ms vs ~0.05 ms at 1024² f32).
-    """
-    rows = {0: a[0::2, :], 1: a[1::2, :]}
-    out = {}
-    for pz, r in rows.items():
-        r = jax.lax.optimization_barrier(r)
-        out[(pz, 0)] = r[:, 0::2]
-        out[(pz, 1)] = r[:, 1::2]
-    return out
-
-
-def deinterleave2_conv(a: jnp.ndarray):
-    """Conv-based (space-to-depth) variant; one fused op, 4 channels."""
-    nx, ny = a.shape
-    pz1 = nx % 2  # pad so both dims even
-    pw1 = ny % 2
-    x = a[None, :, :, None]
-    y = jax.lax.conv_general_dilated(
-        x,
-        _deint_kernel(a.dtype),
-        window_strides=(2, 2),
-        padding=((0, pz1), (0, pw1)),
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )[0]
-    mzs = {0: (nx + 1) // 2, 1: nx // 2}
-    mws = {0: (ny + 1) // 2, 1: ny // 2}
-    out = {}
-    for c, (pz, pw) in enumerate(_PARITIES):
-        out[(pz, pw)] = y[: mzs[pz], : mws[pw], c]
-    return out
 
 
 def _merge_axis(lo: jnp.ndarray, hi: jnp.ndarray, axis: int, n: int):
@@ -100,6 +46,26 @@ def _merge_axis(lo: jnp.ndarray, hi: jnp.ndarray, axis: int, n: int):
     out = out.reshape(shape)
     if 2 * m != n:
         out = jax.lax.slice_in_dim(out, 0, n, axis=axis)
+    return out
+
+
+def deinterleave2(a: jnp.ndarray):
+    """Split (nx, ny) into parity subgrids.
+
+    Returns dict ``(pz, pw) -> subgrid`` with shapes
+    ``(ceil/floor(nx/2), ceil/floor(ny/2))`` according to parity.
+
+    Implemented as two single-axis strided slices separated by an
+    optimization barrier: each single-axis stride-2 slice is near-free on
+    TPU, while the fused double-strided slice is a pathological lane-gather
+    (measured ~2.5 ms vs ~0.05 ms at 1024² f32).
+    """
+    rows = {0: a[0::2, :], 1: a[1::2, :]}
+    out = {}
+    for pz, r in rows.items():
+        r = jax.lax.optimization_barrier(r)
+        out[(pz, 0)] = r[:, 0::2]
+        out[(pz, 1)] = r[:, 1::2]
     return out
 
 

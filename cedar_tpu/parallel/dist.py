@@ -75,6 +75,10 @@ class _DistMixin:
     """Sharding plumbing shared by the 2D/3D distributed solvers."""
 
     def _dist_init(self, conf: Config, mesh):
+        # The Pallas sweep kernels use manual DMA and are not
+        # SPMD-partitionable; sharded cycles run the XLA path (whose
+        # shifted reads the partitioner lowers to halo exchanges).
+        self.settings.kernel_backend = "xla"
         ndim = self._ndim
         self.mesh = mesh if mesh is not None else make_mesh(ndim)
         if len(self.mesh.axis_names) != ndim:

@@ -92,12 +92,13 @@ class MLSettings:
     coarse_config: Config | None = None
     rsettings: RedistSettings | None = None
     plane_settings: "MLSettings | None" = None
+    cg_settings: "MLSettings | None" = None  # inner solver (cg-solver != LU)
     # "xla" | "pallas": resolved from config "kernels.backend" ("auto" picks
     # pallas on TPU) by the solver constructors
     kernel_backend: str = "xla"
 
     @classmethod
-    def from_config(cls, conf: Config) -> "MLSettings":
+    def from_config(cls, conf: Config, _inner: bool = False) -> "MLSettings":
         s = cls()
         relax = conf.get("solver.relaxation", "point")
         try:
@@ -128,6 +129,11 @@ class MLSettings:
             s.coarse_solver = CGType(cg)
         except ValueError:
             raise ValueError("invalid value for solver.cg-solver")
+        if _inner:
+            # one nesting level: the inner solver's coarse solve is direct
+            # (the reference recurses until the process count reaches 1;
+            # on one logical grid a single nesting suffices)
+            s.coarse_solver = CGType.lu
 
         s.coarse_config = conf.getconf("cg-config")
         if s.coarse_config is None:
@@ -135,6 +141,14 @@ class MLSettings:
 
         if s.coarse_solver == CGType.redist:
             s.rsettings = RedistSettings.from_config(conf)
+
+        if s.coarse_solver != CGType.lu:
+            # inner multigrid solver on the coarsest grid, configured by the
+            # nested cg-config (reference: multilevel_settings.cc:55-57)
+            s.cg_settings = MLSettings.from_config(
+                s.coarse_config if s.coarse_config is not None else Config(),
+                _inner=True,
+            )
 
         if s.relaxation in (RelaxType.plane_xy, RelaxType.plane_xz,
                             RelaxType.plane_yz, RelaxType.plane_xyz):

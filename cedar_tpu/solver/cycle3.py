@@ -58,6 +58,36 @@ def _nsmooth(lev, kind, x, b, settings, updown, periodic, nrelax):
     return x
 
 
+def _coarse_solve_inner(coarse, cb, settings: MLSettings, periodic):
+    """Inner multigrid coarse solve (cg-solver "cedar"/"redist").
+
+    Runs the nested solver's tol/maxiter iteration on the coarsest-grid
+    system (reference: redist multilevel_wrapper + setup_cg_solve)."""
+    from cedar_tpu.core.types import StencilKind
+
+    inner = coarse.inner
+    ist = settings.cg_settings
+    kinds = [StencilKind.twenty_seven_pt] * len(inner)
+    r0 = jnp.sqrt(jnp.sum(cb * cb))
+    r0 = jnp.maximum(r0, jnp.asarray(1e-300, cb.dtype))
+
+    def cond(carry):
+        i, x, rel = carry
+        return (i < ist.maxiter) & (rel >= ist.tol)
+
+    def body(carry):
+        i, x, _ = carry
+        x = run_cycle(inner, kinds, x, cb, ist, periodic)
+        r = residual(inner[0].so, x, cb, kinds[0], periodic)
+        rel = jnp.sqrt(jnp.sum(r * r)) / r0
+        return i + 1, x, rel
+
+    x0 = jnp.zeros_like(cb)
+    rel0 = jnp.asarray(jnp.inf, cb.dtype)
+    _, x, _ = jax.lax.while_loop(cond, body, (0, x0, rel0))
+    return x
+
+
 def ncycle(
     levels,
     kinds,
@@ -88,7 +118,10 @@ def ncycle(
 
     if lvl + 1 == len(levels) - 1:
         with scope("coarse-solve"):
-            cx = cg.solve_cg(coarse.ainv, cb)
+            if coarse.inner is not None:
+                cx = _coarse_solve_inner(coarse, cb, settings, periodic)
+            else:
+                cx = cg.solve_cg(coarse.ainv, cb)
     else:
         cx = jnp.zeros_like(cb)
         for _ in range(n):
@@ -117,6 +150,8 @@ def fmg_cycle(
 ):
     """Full multigrid cycle (reference: fcycle.h:49-84).  Returns x."""
     if lvl == len(levels) - 1:
+        if levels[lvl].inner is not None:
+            return _coarse_solve_inner(levels[lvl], b, settings, periodic)
         return cg.solve_cg(levels[lvl].ainv, b)
     coarse = levels[lvl + 1]
     cb = restrict(coarse.ci, b, periodic)

@@ -26,3 +26,5 @@ class Level(NamedTuple):
     ainv: Optional[jnp.ndarray] = None        # coarsest: dense inverse
     planes: Optional[dict] = None             # 3D: orient -> batched 2D
     #                                           plane hierarchy (plane relax)
+    inner: Optional[tuple] = None             # coarsest: inner multigrid
+    #                                  hierarchy (cg-solver "cedar"/"redist")

@@ -28,7 +28,7 @@ from cedar_tpu.ops.interp2 import setup_interp
 from cedar_tpu.ops.lines2 import setup_lines
 from cedar_tpu.ops.relax2 import setup_recip
 from cedar_tpu.ops.stencil2 import residual
-from cedar_tpu.settings import MLSettings, RelaxType
+from cedar_tpu.settings import CGType, MLSettings, RelaxType
 from cedar_tpu.solver.cycle2 import run_cycle
 from cedar_tpu.solver.level import Level
 from cedar_tpu.utils import log
@@ -115,13 +115,28 @@ def setup_hierarchy(
                       ci=cis[lvl])
             )
         else:
-            # coarsest level: direct solve (no relaxation workspace,
-            # reference: multilevel.h:258-263 loops to num_levels-1 only)
-            ainv = _cg_j(
-                sos[lvl], kind=kinds[lvl], periodic=periodic,
-                indefinite=indefinite,
-            )
-            levels.append(Level(so=sos[lvl], ci=cis[lvl], ainv=ainv))
+            if settings.coarse_solver != CGType.lu and nlevels > 1:
+                # cg-solver "cedar"/"redist": an inner multigrid solver on
+                # the coarsest grid, configured by cg-config (reference:
+                # setup_cg_solve, 2d/mpi/solver.h:97-139)
+                ist = settings.cg_settings
+                nx_c, ny_c = sos[lvl].shape[1], sos[lvl].shape[2]
+                nl_in = compute_num_levels(nx_c, ny_c, ist.min_coarse)
+                if ist.num_levels > 0:
+                    nl_in = min(nl_in, ist.num_levels)
+                inner = setup_hierarchy(
+                    sos[lvl], StencilKind.nine_pt, nl_in, ist,
+                    periodic, indefinite,
+                )
+                levels.append(Level(so=sos[lvl], ci=cis[lvl], inner=inner))
+            else:
+                # coarsest level: direct solve (no relaxation workspace,
+                # reference: multilevel.h:258-263 loops to num_levels-1 only)
+                ainv = _cg_j(
+                    sos[lvl], kind=kinds[lvl], periodic=periodic,
+                    indefinite=indefinite,
+                )
+                levels.append(Level(so=sos[lvl], ci=cis[lvl], ainv=ainv))
     return tuple(levels)
 
 

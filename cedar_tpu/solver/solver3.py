@@ -21,7 +21,7 @@ from cedar_tpu.ops.galerkin3 import coarsen_op
 from cedar_tpu.ops.interp3 import setup_interp
 from cedar_tpu.ops.relax3 import setup_recip
 from cedar_tpu.ops.stencil3 import residual
-from cedar_tpu.settings import MLSettings, RelaxType
+from cedar_tpu.settings import CGType, MLSettings, RelaxType
 from cedar_tpu.solver.cycle3 import run_cycle
 from cedar_tpu.solver.level import Level
 from cedar_tpu.utils import log
@@ -87,11 +87,25 @@ def setup_hierarchy(
             recip = _recip_j(sos[lvl]) if point else None
             levels.append(Level(so=sos[lvl], recip=recip, ci=cis[lvl]))
         else:
-            ainv = _cg_j(
-                sos[lvl], kind=kinds[lvl], periodic=periodic,
-                indefinite=indefinite,
-            )
-            levels.append(Level(so=sos[lvl], ci=cis[lvl], ainv=ainv))
+            if settings.coarse_solver != CGType.lu and nlevels > 1:
+                # cg-solver "cedar"/"redist": inner multigrid on the
+                # coarsest grid (reference: 3d/mpi/solver.h:174-200)
+                ist = settings.cg_settings
+                nc_ = sos[lvl].shape[1:]
+                nl_in = compute_num_levels(*nc_, ist.min_coarse)
+                if ist.num_levels > 0:
+                    nl_in = min(nl_in, ist.num_levels)
+                inner = setup_hierarchy(
+                    sos[lvl], StencilKind.twenty_seven_pt, nl_in, ist,
+                    periodic, indefinite,
+                )
+                levels.append(Level(so=sos[lvl], ci=cis[lvl], inner=inner))
+            else:
+                ainv = _cg_j(
+                    sos[lvl], kind=kinds[lvl], periodic=periodic,
+                    indefinite=indefinite,
+                )
+                levels.append(Level(so=sos[lvl], ci=cis[lvl], ainv=ainv))
     return tuple(levels)
 
 

@@ -21,15 +21,27 @@ from cedar_tpu.utils.timing import scope
 from cedar_tpu.ops.stencil3 import residual
 
 
+def _use_pallas(settings, kind, shape, dtype, periodic):
+    if settings.kernel_backend != "pallas" or any(periodic):
+        return False
+    from cedar_tpu.ops import pallas3
+
+    return pallas3.supported(shape, dtype, kind)
+
+
 def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic):
     """One smoothing application (reference: multilevel.h:134-223).
 
     For plane-xyz relaxation the reference applies xy, yz, xz sweeps on the
     way down and xz, yz, xy on the way up (3d/mpi/solver.h relax_dir
-    dispatch); plane relaxation arrives with the plane-relax milestone.
+    dispatch).
     """
     rt = settings.relaxation
     if rt == RelaxType.point:
+        if _use_pallas(settings, kind, x.shape, x.dtype, periodic):
+            from cedar_tpu.ops import pallas3
+
+            return pallas3.point_relax(lev.so, x, b, lev.recip, updown)
         return point_relax(lev.so, x, b, lev.recip, kind, updown, periodic)
     if rt in (RelaxType.plane_xy, RelaxType.plane_xz, RelaxType.plane_yz,
               RelaxType.plane_xyz):
@@ -103,12 +115,28 @@ def ncycle(
     lev = levels[lvl]
     kind = kinds[lvl]
 
-    with scope("relaxation"):
-        x = _nsmooth(lev, kind, x, b, settings, "down", periodic,
-                     settings.nrelax_pre)
+    if (
+        settings.relaxation == RelaxType.point
+        and settings.nrelax_pre >= 1
+        and _use_pallas(settings, kind, x.shape, x.dtype, periodic)
+    ):
+        # fused final pre-smooth + residual: one HBM pass for both
+        from cedar_tpu.ops import pallas3
 
-    with scope("residual"):
-        res = residual(lev.so, x, b, kind, periodic)
+        with scope("relaxation"):
+            x = _nsmooth(lev, kind, x, b, settings, "down", periodic,
+                         settings.nrelax_pre - 1)
+        with scope("relaxation-residual-fused"):
+            x, res = pallas3.point_relax(
+                lev.so, x, b, lev.recip, "down", fuse_residual=True
+            )
+    else:
+        with scope("relaxation"):
+            x = _nsmooth(lev, kind, x, b, settings, "down", periodic,
+                         settings.nrelax_pre)
+
+        with scope("residual"):
+            res = residual(lev.so, x, b, kind, periodic)
     coarse = levels[lvl + 1]
     with scope("restrict"):
         cb = restrict(coarse.ci, res, periodic)

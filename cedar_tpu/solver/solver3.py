@@ -136,6 +136,16 @@ class Solver3:
         self.settings = MLSettings.from_config(conf)
         log.set_enabled(conf.get("log", ["status", "error"]))
         self.kind = kind
+        kb = conf.get("kernels.backend", "auto")
+        if kb == "auto":
+            dd = jax.config.jax_default_device
+            on_tpu = (
+                dd.platform == "tpu"
+                if dd is not None
+                else jax.default_backend() == "tpu"
+            )
+            kb = "pallas" if on_tpu else "xla"
+        self.settings.kernel_backend = kb
         per = conf.get("grid.periodic", [False, False, False])
         while len(per) < 3:
             per = list(per) + [False]

@@ -14,8 +14,6 @@ out-of-range reads giving 0 (Dirichlet ghosts) or wrapping (periodic).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax.numpy as jnp
 
 

@@ -15,7 +15,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import numpy as np
 
-from cedar_tpu.core.types import Dir2, Dir3, StencilKind
+from cedar_tpu.core.types import Dir2, Dir3
 
 
 def _default_dtype(dtype):

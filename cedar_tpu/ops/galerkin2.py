@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 from cedar_tpu.core.parity import deinterleave2
 from cedar_tpu.core.shift import coarse_sample, shift2
-from cedar_tpu.core.types import Dir2, StencilKind
+from cedar_tpu.core.types import StencilKind
 from cedar_tpu.ops.interp2 import parity_sample, pw_weights
 from cedar_tpu.ops.stencil2 import full_offsets
 

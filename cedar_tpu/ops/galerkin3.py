@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from cedar_tpu.core.parity import deinterleave3
 from cedar_tpu.core.shift import coarse_sample, shift3
-from cedar_tpu.core.types import Dir3, StencilKind
+from cedar_tpu.core.types import StencilKind
 from cedar_tpu.ops.interp3 import parity_sample, pw_weights
 from cedar_tpu.ops.stencil3 import NEIGHBOR_COUPLINGS_27, full_offsets
 

@@ -21,8 +21,6 @@ the 9 points of the plane below (z-1):
 
 from __future__ import annotations
 
-import jax.numpy as jnp
-
 from cedar_tpu.core.shift import shift3
 from cedar_tpu.core.types import Dir3, StencilKind
 

@@ -15,8 +15,6 @@ jitted pure functions over a static level pytree:
 from __future__ import annotations
 
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 

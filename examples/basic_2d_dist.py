@@ -9,7 +9,12 @@ On a machine without multiple accelerators:
       python examples/basic_2d_dist.py
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,12 @@ and reports the error against the analytic sin(2pi x) sin(2pi y) solution.
 Run:  python examples/basic_2d_ser.py [nx ny]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
 
 import jax.numpy as jnp
 

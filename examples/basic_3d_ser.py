@@ -3,7 +3,12 @@
 Run:  python examples/basic_3d_ser.py [n]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
 
 import jax.numpy as jnp
 

@@ -1,6 +1,12 @@
 """Handle-based procedural API demo (reference: the C API,
 include/cedar/capi.h used from a host application)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                os.pardir))
+
 import numpy as np
 
 import cedar_tpu.capi as capi

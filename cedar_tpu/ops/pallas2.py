@@ -193,24 +193,55 @@ def _sweep_kernel(
         rout.wait()
 
 
+def aligned(shape) -> bool:
+    """Mosaic f32 tiling: sublane starts 8-aligned, lane slices 128-wide."""
+    return shape[0] % 8 == 0 and shape[1] % 128 == 0
+
+
 def supported(shape, dtype, kind=StencilKind.nine_pt) -> bool:
-    """Pallas sweep applicability (else callers use the XLA path)."""
+    """Pallas sweep applicability (else callers use the XLA path).
+
+    Unaligned shapes are padded up (see :func:`point_relax_padded`), so
+    only the padded tile budget gates."""
     nx, ny = shape
     if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
         return False
-    if nx % 8 or ny % 128:
-        # row slabs: sublane starts must be 8-aligned, full-width lane
-        # slices 128-aligned (Mosaic f32 tiling)
-        return False
+    nxp = -(-nx // 8) * 8
+    nyp = -(-ny // 128) * 128
     ndir = 3 if kind == StencilKind.five_pt else 5
-    t = _tile_for(nx, ny, ndir)
-    return t >= 32 and ny >= 256
+    t = _tile_for(nxp, nyp, ndir)
+    return t >= 32 and nyp >= 256
+
+
+def point_relax(so, q, b, rec, kind, updown, fuse_residual=False):
+    """Dispatch: aligned shapes run the kernel directly; others pad up.
+
+    The pad region is inert by construction: coupling planes pad with
+    zeros (annihilating every read that crosses the pad boundary) and the
+    diagonal pads with ONES so padded-point updates stay finite
+    (``(0 + 0) * 1``), never contaminating real points."""
+    nx, ny = q.shape
+    if aligned((nx, ny)):
+        return _point_relax_call(so, q, b, rec, kind, updown, fuse_residual)
+    nxp = -(-nx // 8) * 8
+    nyp = -(-ny // 128) * 128
+    pw = ((0, nxp - nx), (0, nyp - ny))
+    so_p = jnp.pad(so, ((0, 0),) + pw)
+    so_p = so_p.at[Dir2.O, nx:, :].set(1.0)
+    so_p = so_p.at[Dir2.O, :, ny:].set(1.0)
+    out = _point_relax_call(
+        so_p, jnp.pad(q, pw), jnp.pad(b, pw), None, kind, updown,
+        fuse_residual,
+    )
+    if fuse_residual:
+        return out[0][:nx, :ny], out[1][:nx, :ny]
+    return out[:nx, :ny]
 
 
 @functools.partial(
     jax.jit, static_argnames=("kind", "updown", "fuse_residual")
 )
-def point_relax(so, q, b, rec, kind, updown, fuse_residual=False):
+def _point_relax_call(so, q, b, rec, kind, updown, fuse_residual=False):
     """One full multicolor GS sweep in a single HBM pass.
 
     Drop-in replacement for cedar_tpu.ops.relax2.point_relax on supported

@@ -68,9 +68,28 @@ def test_supported_gates():
     nine = StencilKind.nine_pt
     assert pallas2.supported((4096, 4096), f32, five)
     assert pallas2.supported((2048, 2048), f32, nine)
+    # unaligned shapes are padded up and stay supported
+    assert pallas2.supported((2049, 2048), f32, five)
+    assert pallas2.supported((400, 400), f32, five)
     # 9-pt at 4096-wide rows: slab would undershoot the efficiency floor
     assert not pallas2.supported((4096, 4096), f32, nine)
     assert not pallas2.supported((4096, 4096), jnp.float64, five)
-    assert not pallas2.supported((2049, 2048), f32, five)  # odd rows
-    assert not pallas2.supported((400, 400), f32, five)    # lane misalign
     assert not pallas2.supported((64, 128), f32, five)     # too small
+
+
+def test_padded_dispatch_matches_xla():
+    """Unaligned shapes run the kernel through the inert-pad wrapper."""
+    if not ON_TPU:
+        pytest.skip("padded dispatch covered on TPU only")
+    rng = np.random.default_rng(9)
+    n = (401, 387)
+    from test_kernels_2d import random_so
+
+    so = jnp.asarray(random_so(rng, *n, True), jnp.float32)
+    q = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    rec = setup_recip(so)
+    kind = StencilKind.nine_pt
+    ref = relax_xla(so, q, b, rec, kind, "down")
+    got = pallas2.point_relax(so, q, b, rec, kind, "down")
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)

@@ -143,3 +143,19 @@ def test_dist2_irregular_size(mesh2):
     r = residual2(so, jax.device_get(x), b, FivePt)
     rel = float(jnp.sqrt(jnp.sum(r * r)) / jnp.sqrt(jnp.sum(b * b)))
     assert rel < 1e-9
+
+
+def test_dist3_plane_relax_matches_serial(mesh3):
+    """Plane relaxation under sharding (the plane hierarchies stay
+    replicated; XLA reshards around the vmapped plane batches)."""
+    n = 16
+    so = gallery.diag_diffusion3(n, n, n, 1.0, 1.0, 1e-3)
+    b = gallery.poisson3_rhs(n, n, n)
+    conf = {"log": [], "solver": {"relaxation": "plane-xy",
+                                  "tol": 1e-9, "max-iter": 10}}
+    from cedar_tpu import Solver3 as _S3
+
+    x_ser = _S3(so, SevenPt, Config(dict(conf))).solve(b)
+    s_dist = DistSolver3(so, SevenPt, Config(dict(conf)), mesh3)
+    x_dist = s_dist.solve(b)
+    assert float(jnp.max(jnp.abs(x_ser - jax.device_get(x_dist)))) < 1e-12

@@ -98,6 +98,43 @@ def _pcr_solve(lo: jnp.ndarray, dg: jnp.ndarray, up: jnp.ndarray,
     return d / dg
 
 
+def _cyclic_solve(lo_full: jnp.ndarray, dg: jnp.ndarray, up_full: jnp.ndarray,
+                  d: jnp.ndarray) -> jnp.ndarray:
+    """Cyclic (periodic-axis) tridiagonal solve via Sherman–Morrison.
+
+    ``lo_full[0]`` and ``up_full[n-1]`` hold the wrap couplings (point 0 to
+    point n-1 and back).  The reference solves these with its PER_x/PER_y
+    branches (BMG2_SymStd_relax_lines_x.f90:72-172 + SETUP_lines_x.f90);
+    here the cyclic system ``A_cyc = A' + u vᵀ`` is reduced to TWO
+    tridiagonal solves with the same modified matrix, batched into ONE PCR
+    call (the second rhs rides as extra batch columns):
+
+        A' = A_cyc with  d[0]   -= γ,
+                         d[n-1] -= cl·cu/γ,  corners dropped
+        u  = (γ, 0, …, cl),   v = (1, 0, …, cu/γ)
+        x  = y − z · (v·y)/(1 + v·z),   A'y = d,  A'z = u
+    """
+    n = d.shape[0]
+    cl = lo_full[0]          # A[0, n-1] (per line)
+    cu = up_full[n - 1]      # A[n-1, 0]
+    gamma = -dg[0]
+    dg_mod = dg.at[0].add(-gamma).at[n - 1].add(-cl * cu / gamma)
+    lo = lo_full.at[0].set(0.0)
+    up = up_full.at[n - 1].set(0.0)
+    u = jnp.zeros_like(d).at[0].set(gamma).at[n - 1].set(cl)
+
+    nb = d.shape[1]
+    rhs2 = jnp.concatenate([d, u], axis=1)
+    sol = _pcr_solve(
+        jnp.tile(lo, (1, 2)), jnp.tile(dg_mod, (1, 2)),
+        jnp.tile(up, (1, 2)), rhs2,
+    )
+    y, z = sol[:, :nb], sol[:, nb:]
+    vy = y[0] + (cu / gamma) * y[n - 1]
+    vz = z[0] + (cu / gamma) * z[n - 1]
+    return y - z * (vy / (1.0 + vz))
+
+
 # PCR beats the sequential scan once lines are long enough to be
 # latency-bound; short lines (coarse levels) keep the Thomas scan.
 _PCR_MIN_LEN = 64
@@ -184,15 +221,28 @@ def line_relax_x(
     periodic=(False, False),
 ) -> jnp.ndarray:
     """One zebra x-line sweep (both colors)."""
+    if periodic[1] and q.shape[1] % 2:
+        raise ValueError(
+            "zebra x-line relaxation needs an even number of lines when the "
+            "y axis is periodic (line 0 and line ny-1 are neighbors)"
+        )
     order = (1, 0) if updown == "down" else (0, 1)
+    cyclic = bool(periodic[0])   # wrap coupling along the line itself
     use_pcr = q.shape[0] >= _PCR_MIN_LEN
-    if use_pcr:
+    if use_pcr or cyclic:
         diag = so[Dir2.O]
         lo = -so[Dir2.W]
-        up = _shift0(lo, 1, 0.0)
+        if cyclic:
+            up = jnp.roll(lo, -1, axis=0)   # up[n-1] = wrap coupling lo[0]
+        else:
+            up = _shift0(lo, 1, 0.0)
     for parity in order:
         rhs = _line_rhs_x(so, q, b, kind, periodic)[:, parity::2]
-        if use_pcr:
+        if cyclic:
+            sol = _cyclic_solve(
+                lo[:, parity::2], diag[:, parity::2], up[:, parity::2], rhs
+            )
+        elif use_pcr:
             sol = _pcr_solve(
                 lo[:, parity::2], diag[:, parity::2], up[:, parity::2], rhs
             )

@@ -89,6 +89,11 @@ class MLSettings:
     tol: float = 1e-8
     min_coarse: int = 3
     coarse_solver: CGType = CGType.lu
+    # symmetric relaxation: post-smoothing reverses the sweep order (the
+    # reference's IRELAX_SYM UP/DOWN branches in BMG2_SymStd_relax_GS.f90;
+    # exposed here as a config knob — kernel_params.h:11-46 carries the flag
+    # but the reference's builder hardcodes it true)
+    relax_symmetric: bool = True
     coarse_config: Config | None = None
     rsettings: RedistSettings | None = None
     plane_settings: "MLSettings | None" = None
@@ -97,8 +102,12 @@ class MLSettings:
     # pallas on TPU) by the solver constructors
     kernel_backend: str = "xla"
 
+    #: safety backstop on cg-config recursion (the reference recurses until
+    #: the process count reaches 1; config nesting is finite in practice)
+    MAX_NEST = 12
+
     @classmethod
-    def from_config(cls, conf: Config, _inner: bool = False) -> "MLSettings":
+    def from_config(cls, conf: Config, _depth: int = 0) -> "MLSettings":
         s = cls()
         relax = conf.get("solver.relaxation", "point")
         try:
@@ -124,18 +133,20 @@ class MLSettings:
             "solver.min_coarse", conf.get("solver.min-coarse", 3)
         )
 
+        s.relax_symmetric = conf.get("solver.relax-symmetric", True)
+
         cg = conf.get("solver.cg-solver", "LU")
         try:
             s.coarse_solver = CGType(cg)
         except ValueError:
             raise ValueError("invalid value for solver.cg-solver")
-        if _inner:
-            # one nesting level: the inner solver's coarse solve is direct
-            # (the reference recurses until the process count reaches 1;
-            # on one logical grid a single nesting suffices)
-            s.coarse_solver = CGType.lu
+        if _depth >= cls.MAX_NEST:
+            raise ValueError(
+                f"cg-config nesting exceeds {cls.MAX_NEST} levels"
+            )
 
-        s.coarse_config = conf.getconf("cg-config")
+        explicit_cg_conf = conf.getconf("cg-config")
+        s.coarse_config = explicit_cg_conf
         if s.coarse_config is None:
             s.coarse_config = conf.getconf("")
 
@@ -144,10 +155,20 @@ class MLSettings:
 
         if s.coarse_solver != CGType.lu:
             # inner multigrid solver on the coarsest grid, configured by the
-            # nested cg-config (reference: multilevel_settings.cc:55-57)
+            # nested cg-config (reference: multilevel_settings.cc:55-57).
+            # Nesting recurses arbitrarily when cg-configs are explicit
+            # (reference: test/2d/mpi/test-cgredist-1.json nests to depth 3,
+            # include/cedar/2d/mpi/redist_solver.h:35-102); when the inner
+            # config is just the inherited outer config, its coarse solve is
+            # forced direct — the reference's recursion terminates because
+            # the process count shrinks to 1, which has no analogue here.
+            if explicit_cg_conf is not None:
+                inner_conf = explicit_cg_conf
+            else:
+                inner_conf = conf.getconf("")
+                inner_conf.set("solver.cg-solver", "LU")
             s.cg_settings = MLSettings.from_config(
-                s.coarse_config if s.coarse_config is not None else Config(),
-                _inner=True,
+                inner_conf, _depth=_depth + 1
             )
 
         if s.relaxation in (RelaxType.plane_xy, RelaxType.plane_xz,

@@ -164,7 +164,11 @@ def ncycle(
         x = jax.lax.with_sharding_constraint(x, constraints[lvl])
 
     with scope("relaxation"):
-        x = _nsmooth(lev, kind, x, b, settings, "up", periodic,
+        # nonsymmetric relaxation (solver.relax-symmetric false) keeps the
+        # forward sweep order for post-smoothing (reference: IRELAX_SYM
+        # branches, BMG2_SymStd_relax_GS.f90:78-87)
+        post = "up" if settings.relax_symmetric else "down"
+        x = _nsmooth(lev, kind, x, b, settings, post, periodic,
                      settings.nrelax_post)
     return x
 

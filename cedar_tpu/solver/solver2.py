@@ -26,6 +26,7 @@ from cedar_tpu.ops.interp2 import setup_interp
 from cedar_tpu.ops.lines2 import setup_lines
 from cedar_tpu.ops.relax2 import setup_recip
 from cedar_tpu.ops.stencil2 import residual
+from cedar_tpu import schema
 from cedar_tpu.settings import CGType, MLSettings, RelaxType
 from cedar_tpu.solver.cycle2 import run_cycle
 from cedar_tpu.solver.level import Level
@@ -160,6 +161,7 @@ class Solver2:
     ):
         if not isinstance(conf, Config):
             conf = Config(conf)
+        schema.validate(conf)
         self.conf = conf
         self.settings = MLSettings.from_config(conf)
         log.set_enabled(conf.get("log", ["status", "error"]))
@@ -216,7 +218,9 @@ class Solver2:
         settings = self.settings
         fine = levels[0]
         r0 = residual(fine.so, x0, b, self.kinds[0], self.periodic)
-        res0 = _l2(r0)
+        # floor protects the b = 0 (already-converged) edge case: the rel
+        # history divides by res0 (tiny = smallest normal of the dtype)
+        res0 = jnp.maximum(_l2(r0), jnp.finfo(b.dtype).tiny)
         maxiter = settings.maxiter
         hist0 = jnp.full((maxiter,), jnp.nan, b.dtype)
 

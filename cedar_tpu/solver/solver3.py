@@ -21,6 +21,7 @@ from cedar_tpu.ops.galerkin3 import coarsen_op
 from cedar_tpu.ops.interp3 import setup_interp
 from cedar_tpu.ops.relax3 import setup_recip
 from cedar_tpu.ops.stencil3 import residual
+from cedar_tpu import schema
 from cedar_tpu.settings import CGType, MLSettings, RelaxType
 from cedar_tpu.solver.cycle3 import run_cycle
 from cedar_tpu.solver.level import Level
@@ -132,6 +133,7 @@ class Solver3:
     ):
         if not isinstance(conf, Config):
             conf = Config(conf)
+        schema.validate(conf)
         self.conf = conf
         self.settings = MLSettings.from_config(conf)
         log.set_enabled(conf.get("log", ["status", "error"]))
@@ -199,7 +201,9 @@ class Solver3:
         settings = self.settings
         fine = levels[0]
         r0 = residual(fine.so, x0, b, self.kinds[0], self.periodic)
-        res0 = _l2(r0)
+        # floor protects the b = 0 (already-converged) edge case: the rel
+        # history divides by res0 (tiny = smallest normal of the dtype)
+        res0 = jnp.maximum(_l2(r0), jnp.finfo(b.dtype).tiny)
         maxiter = settings.maxiter
         hist0 = jnp.full((maxiter,), jnp.nan, b.dtype)
 

@@ -84,6 +84,96 @@ def test_periodic_x_solve():
     np.testing.assert_allclose(np.asarray(x), xd, atol=1e-8)
 
 
+def periodic_x_aniso(nx, ny, eps=0.1):
+    """Anisotropic operator, periodic + strong coupling in x."""
+    so = np.zeros((3, nx, ny))
+    so[Dir2.W, :, :] = 1.0
+    so[Dir2.S, :, 1:] = eps
+    so[Dir2.O] = 2.0 + 2.0 * eps
+    return so
+
+
+def test_cyclic_line_exact_decoupled():
+    """With zero y-coupling each x-line is an independent cyclic tridiagonal
+    system: ONE zebra sweep must solve the system exactly (the reference's
+    PER_x line branch, BMG2_SymStd_relax_lines_x.f90:72-172)."""
+    from cedar_tpu.ops.lines2 import line_relax_x, setup_lines
+
+    nx, ny = 24, 8
+    so = np.zeros((3, nx, ny))
+    so[Dir2.W, :, :] = 1.0
+    so[Dir2.O] = 2.5
+    rng = np.random.default_rng(3)
+    b = rng.standard_normal((nx, ny))
+    so_j = jnp.asarray(so)
+    sor = setup_lines(so_j, StencilKind.five_pt, "x")
+    q = line_relax_x(so_j, jnp.zeros((nx, ny)), jnp.asarray(b), sor,
+                     StencilKind.five_pt, "down", (True, False))
+    r = residual(so_j, q, jnp.asarray(b), StencilKind.five_pt, (True, False))
+    assert float(jnp.abs(r).max()) < 1e-12
+
+
+def test_cyclic_line_solve_vs_sparse():
+    """Full line-x multigrid solve on an x-periodic anisotropic problem
+    matches a scipy sparse direct solve."""
+    nx, ny = 32, 32
+    so = periodic_x_aniso(nx, ny)
+    per = (True, False)
+    rng = np.random.default_rng(4)
+    b = rng.standard_normal((nx, ny))
+    conf = Config({
+        "log": [],
+        "grid": {"periodic": [True, False]},
+        "solver": {"relaxation": "line-x", "tol": 1e-10, "max-iter": 40},
+    })
+    s = Solver2(jnp.asarray(so), FivePt, conf)
+    x = s.solve(jnp.asarray(b))
+    A = sparse_periodic(so, (nx, ny), per)
+    xd = spla.spsolve(A.tocsc(), b.reshape(-1)).reshape(nx, ny)
+    np.testing.assert_allclose(np.asarray(x), xd, atol=1e-8)
+
+
+def test_cyclic_line_y_solve():
+    """line-y on a y-periodic problem (transposed path)."""
+    nx, ny = 32, 32
+    so = np.zeros((3, nx, ny))
+    so[Dir2.S, :, :] = 1.0
+    so[Dir2.W, 1:, :] = 0.1
+    so[Dir2.O] = 2.2
+    per = (False, True)
+    rng = np.random.default_rng(5)
+    b = rng.standard_normal((nx, ny))
+    conf = Config({
+        "log": [],
+        "grid": {"periodic": [False, True]},
+        "solver": {"relaxation": "line-y", "tol": 1e-10, "max-iter": 40},
+    })
+    s = Solver2(jnp.asarray(so), FivePt, conf)
+    x = s.solve(jnp.asarray(b))
+    A = sparse_periodic(so, (nx, ny), per)
+    xd = spla.spsolve(A.tocsc(), b.reshape(-1)).reshape(nx, ny)
+    np.testing.assert_allclose(np.asarray(x), xd, atol=1e-8)
+
+
+def test_zebra_odd_periodic_orthogonal_raises():
+    """Zebra x-lines with an ODD number of lines on a periodic y axis would
+    put two same-color lines adjacent — must raise, not mis-solve."""
+    import pytest
+
+    from cedar_tpu.ops.lines2 import line_relax_x, setup_lines
+
+    nx, ny = 16, 9
+    so = np.zeros((3, nx, ny))
+    so[Dir2.W, :, :] = 1.0
+    so[Dir2.S, :, :] = 1.0
+    so[Dir2.O] = 4.0
+    so_j = jnp.asarray(so)
+    sor = setup_lines(so_j, StencilKind.five_pt, "x")
+    with pytest.raises(ValueError, match="even number of lines"):
+        line_relax_x(so_j, jnp.zeros((nx, ny)), jnp.zeros((nx, ny)), sor,
+                     StencilKind.five_pt, "down", (True, True))
+
+
 def test_fully_periodic_singular():
     """Doubly periodic Poisson is singular: the coarse solve applies the
     reference's rank-deficiency shift (BMG2_SymStd_SETUP_cg_LU indefinite

@@ -133,7 +133,7 @@ def _offdiag_slab(cpl, q):
 
 
 def _sweep_kernel(
-    so_hbm, b_hbm, q_hbm, out_hbm, res_hbm,
+    orig_ref, so_hbm, b_hbm, q_hbm, out_hbm, res_hbm,
     qs, sos, bs, sems,
     *, kind, updown, T, nx, ny, fuse_residual,
 ):
@@ -156,8 +156,12 @@ def _sweep_kernel(
     for cp in cps:
         cp.wait()
 
-    gi = row0 + jax.lax.broadcasted_iota(jnp.int32, (R, ny), 0)
-    gj = jax.lax.broadcasted_iota(jnp.int32, (R, ny), 1)
+    # color masks anchor to GLOBAL indices; orig_ref carries the global
+    # index of local element (0, 0) (nonzero only under shard_map — the
+    # sharded analogue of the reference's iGs/jGs anchoring)
+    gi = (orig_ref[0] + row0
+          + jax.lax.broadcasted_iota(jnp.int32, (R, ny), 0))
+    gj = orig_ref[1] + jax.lax.broadcasted_iota(jnp.int32, (R, ny), 1)
 
     diag = sos[Dir2.O]
     cpl = _shifted_couplings(sos, nine)
@@ -213,16 +217,24 @@ def supported(shape, dtype, kind=StencilKind.nine_pt) -> bool:
     return t >= 32 and nyp >= 256
 
 
-def point_relax(so, q, b, rec, kind, updown, fuse_residual=False):
+def point_relax(so, q, b, rec, kind, updown, fuse_residual=False,
+                origin=None):
     """Dispatch: aligned shapes run the kernel directly; others pad up.
 
     The pad region is inert by construction: coupling planes pad with
     zeros (annihilating every read that crosses the pad boundary) and the
     diagonal pads with ONES so padded-point updates stay finite
-    (``(0 + 0) * 1``), never contaminating real points."""
+    (``(0 + 0) * 1``), never contaminating real points.
+
+    ``origin`` (traced (2,) int32, default zeros) is the global index of
+    local element (0, 0) — nonzero only for per-shard calls under
+    shard_map, where it keeps color parity globally anchored."""
     nx, ny = q.shape
+    if origin is None:
+        origin = jnp.zeros((2,), jnp.int32)
     if aligned((nx, ny)):
-        return _point_relax_call(so, q, b, rec, kind, updown, fuse_residual)
+        return _point_relax_call(so, q, b, rec, kind, updown, fuse_residual,
+                                 origin)
     nxp = -(-nx // 8) * 8
     nyp = -(-ny // 128) * 128
     pw = ((0, nxp - nx), (0, nyp - ny))
@@ -231,7 +243,7 @@ def point_relax(so, q, b, rec, kind, updown, fuse_residual=False):
     so_p = so_p.at[Dir2.O, :, ny:].set(1.0)
     out = _point_relax_call(
         so_p, jnp.pad(q, pw), jnp.pad(b, pw), None, kind, updown,
-        fuse_residual,
+        fuse_residual, origin,
     )
     if fuse_residual:
         return out[0][:nx, :ny], out[1][:nx, :ny]
@@ -241,7 +253,8 @@ def point_relax(so, q, b, rec, kind, updown, fuse_residual=False):
 @functools.partial(
     jax.jit, static_argnames=("kind", "updown", "fuse_residual")
 )
-def _point_relax_call(so, q, b, rec, kind, updown, fuse_residual=False):
+def _point_relax_call(so, q, b, rec, kind, updown, fuse_residual=False,
+                      origin=None):
     """One full multicolor GS sweep in a single HBM pass.
 
     Drop-in replacement for cedar_tpu.ops.relax2.point_relax on supported
@@ -255,6 +268,8 @@ def _point_relax_call(so, q, b, rec, kind, updown, fuse_residual=False):
     T = _tile_for(nx, ny, ndir)
     R = T + 2 * _H
     dtype = q.dtype
+    if origin is None:
+        origin = jnp.zeros((2,), jnp.int32)
 
     kernel = functools.partial(
         _sweep_kernel,
@@ -273,7 +288,7 @@ def _point_relax_call(so, q, b, rec, kind, updown, fuse_residual=False):
     q_out, res = pl.pallas_call(
         kernel,
         grid=(pl.cdiv(nx, T),),
-        in_specs=[anyspec] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [anyspec] * 3,
         out_specs=[anyspec, anyspec],
         out_shape=out_shapes,
         scratch_shapes=[
@@ -284,7 +299,7 @@ def _point_relax_call(so, q, b, rec, kind, updown, fuse_residual=False):
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=INTERPRET,
-    )(so, b, q)
+    )(origin, so, b, q)
     if fuse_residual:
         return q_out, res
     return q_out

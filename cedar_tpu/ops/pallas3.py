@@ -89,7 +89,7 @@ def _offdiag(cpl, q):
 
 
 def _sweep_kernel(
-    so_hbm, b_hbm, q_hbm, out_hbm, res_hbm,
+    orig_ref, so_hbm, b_hbm, q_hbm, out_hbm, res_hbm,
     qs, sos, bs, sems,
     *, updown, Tx, Ty, nx, ny, nz, fuse_residual,
 ):
@@ -117,9 +117,13 @@ def _sweep_kernel(
     for cp in cps:
         cp.wait()
 
-    gx = x0 + jax.lax.broadcasted_iota(jnp.int32, (Rx, Ry, nz), 0)
-    gy = y0 + jax.lax.broadcasted_iota(jnp.int32, (Rx, Ry, nz), 1)
-    gz = jax.lax.broadcasted_iota(jnp.int32, (Rx, Ry, nz), 2)
+    # global anchoring: orig_ref is the global index of local (0, 0, 0)
+    # (nonzero only under shard_map; cf. the reference's iGs/jGs/kGs)
+    gx = (orig_ref[0] + x0
+          + jax.lax.broadcasted_iota(jnp.int32, (Rx, Ry, nz), 0))
+    gy = (orig_ref[1] + y0
+          + jax.lax.broadcasted_iota(jnp.int32, (Rx, Ry, nz), 1))
+    gz = orig_ref[2] + jax.lax.broadcasted_iota(jnp.int32, (Rx, Ry, nz), 2)
     par = (gx + gy + gz) % 2
 
     diag = sos[Dir3.P]
@@ -171,13 +175,15 @@ def supported(shape, dtype, kind) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("updown", "fuse_residual"))
-def point_relax(so, q, b, rec, updown, fuse_residual=False):
+def point_relax(so, q, b, rec, updown, fuse_residual=False, origin=None):
     """One full red-black 7-pt sweep in a single HBM pass (non-periodic).
 
     Reference semantics: BMG3_SymStd_relax_GS.f90 7-point branch
     (:144-183); drop-in for cedar_tpu.ops.relax3.point_relax on supported
     shapes."""
     del rec
+    if origin is None:
+        origin = jnp.zeros((3,), jnp.int32)
     nx, ny, nz = q.shape
     Tx, Ty = _tiles_for(nx, ny, nz)
     Rx = Tx + 2 * _HX
@@ -204,7 +210,7 @@ def point_relax(so, q, b, rec, updown, fuse_residual=False):
     q_out, res = pl.pallas_call(
         kernel,
         grid=(pl.cdiv(nx, Tx), pl.cdiv(ny, Ty)),
-        in_specs=[anyspec] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [anyspec] * 3,
         out_specs=[anyspec, anyspec],
         out_shape=out_shapes,
         scratch_shapes=[
@@ -215,7 +221,7 @@ def point_relax(so, q, b, rec, updown, fuse_residual=False):
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=INTERPRET,
-    )(so, b, q)
+    )(origin, so, b, q)
     if fuse_residual:
         return q_out, res
     return q_out

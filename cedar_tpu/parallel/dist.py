@@ -75,10 +75,11 @@ class _DistMixin:
     """Sharding plumbing shared by the 2D/3D distributed solvers."""
 
     def _dist_init(self, conf: Config, mesh):
-        # The Pallas sweep kernels use manual DMA and are not
-        # SPMD-partitionable; sharded cycles run the XLA path (whose
-        # shifted reads the partitioner lowers to halo exchanges).
-        self.settings.kernel_backend = "xla"
+        # Fused Pallas sweeps run per-shard via shard_map + ppermute halo
+        # slabs (cedar_tpu.parallel.shard_relax); levels whose sharding the
+        # kernel cannot take (uneven split, sharded lane axis, small
+        # shards) fall back to the XLA path, whose shifted reads the SPMD
+        # partitioner lowers to halo exchanges.
         ndim = self._ndim
         self.mesh = mesh if mesh is not None else make_mesh(ndim)
         if len(self.mesh.axis_names) != ndim:

@@ -23,15 +23,35 @@ from cedar_tpu.settings import MLSettings, RelaxType
 from cedar_tpu.utils.timing import scope
 
 
-def _use_pallas(settings, kind, shape, dtype, periodic):
+def _use_pallas(settings, kind, shape, dtype, periodic, shard=None):
     if settings.kernel_backend != "pallas" or any(periodic):
         return False
+    if shard is not None:
+        from cedar_tpu.parallel import shard_relax
+
+        return shard_relax.supported2(shape, dtype, kind, shard)
     from cedar_tpu.ops import pallas2
 
     return pallas2.supported(shape, dtype, kind)
 
 
-def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic):
+def _pallas_relax(lev, kind, x, b, updown, shard, fuse_residual=False):
+    """Fused Pallas sweep — per-shard under shard_map when sharded."""
+    if shard is not None:
+        from cedar_tpu.parallel import shard_relax
+
+        return shard_relax.point_relax2(
+            shard, lev.so, x, b, kind, updown, fuse_residual
+        )
+    from cedar_tpu.ops import pallas2
+
+    return pallas2.point_relax(
+        lev.so, x, b, lev.recip, kind, updown, fuse_residual
+    )
+
+
+def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic,
+            shard=None):
     """Dispatch one smoothing application (reference: multilevel.h:134-223).
 
     Pre-smoothing (DOWN) applies line-x then line-y for "line-xy";
@@ -39,12 +59,8 @@ def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic):
     """
     rt = settings.relaxation
     if rt == RelaxType.point:
-        if _use_pallas(settings, kind, x.shape, x.dtype, periodic):
-            from cedar_tpu.ops import pallas2
-
-            return pallas2.point_relax(
-                lev.so, x, b, lev.recip, kind, updown
-            )
+        if _use_pallas(settings, kind, x.shape, x.dtype, periodic, shard):
+            return _pallas_relax(lev, kind, x, b, updown, shard)
         return point_relax(lev.so, x, b, lev.recip, kind, updown, periodic)
     if rt == RelaxType.line_x:
         return line_relax_x(lev.so, x, b, lev.sor_x, kind, updown, periodic)
@@ -59,15 +75,19 @@ def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic):
     raise ValueError(f"invalid 2D relaxation: {rt}")
 
 
-def _nsmooth(lev, kind, x, b, settings, updown, periodic, nrelax):
+def _nsmooth(lev, kind, x, b, settings, updown, periodic, nrelax,
+             shard=None):
     """``nrelax`` identical sweeps as one lax.scan (smaller compiled graph)."""
     if nrelax <= 1:
         for _ in range(nrelax):
-            x = _smooth(lev, kind, x, b, settings, updown, periodic)
+            x = _smooth(lev, kind, x, b, settings, updown, periodic, shard)
         return x
 
     def body(x, _):
-        return _smooth(lev, kind, x, b, settings, updown, periodic), None
+        return (
+            _smooth(lev, kind, x, b, settings, updown, periodic, shard),
+            None,
+        )
 
     x, _ = jax.lax.scan(body, x, None, length=nrelax)
     return x
@@ -117,26 +137,24 @@ def ncycle(
     """Recursive n-cycle (n=1: V, n=2: W).  Reference: vcycle.h:57-115."""
     lev = levels[lvl]
     kind = kinds[lvl]
+    shard = constraints[lvl] if constraints is not None else None
 
     if (
         settings.relaxation == RelaxType.point
         and settings.nrelax_pre >= 1
-        and _use_pallas(settings, kind, x.shape, x.dtype, periodic)
+        and _use_pallas(settings, kind, x.shape, x.dtype, periodic, shard)
     ):
         # fused final pre-smooth + residual: one HBM pass for both
-        from cedar_tpu.ops import pallas2
-
         with scope("relaxation"):
             x = _nsmooth(lev, kind, x, b, settings, "down", periodic,
-                         settings.nrelax_pre - 1)
+                         settings.nrelax_pre - 1, shard)
         with scope("relaxation-residual-fused"):
-            x, res = pallas2.point_relax(
-                lev.so, x, b, lev.recip, kind, "down", fuse_residual=True
-            )
+            x, res = _pallas_relax(lev, kind, x, b, "down", shard,
+                                   fuse_residual=True)
     else:
         with scope("relaxation"):
             x = _nsmooth(lev, kind, x, b, settings, "down", periodic,
-                         settings.nrelax_pre)
+                         settings.nrelax_pre, shard)
         with scope("residual"):
             res = residual(lev.so, x, b, kind, periodic)
     coarse = levels[lvl + 1]
@@ -169,7 +187,7 @@ def ncycle(
         # branches, BMG2_SymStd_relax_GS.f90:78-87)
         post = "up" if settings.relax_symmetric else "down"
         x = _nsmooth(lev, kind, x, b, settings, post, periodic,
-                     settings.nrelax_post)
+                     settings.nrelax_post, shard)
     return x
 
 

@@ -21,15 +21,34 @@ from cedar_tpu.utils.timing import scope
 from cedar_tpu.ops.stencil3 import residual
 
 
-def _use_pallas(settings, kind, shape, dtype, periodic):
+def _use_pallas(settings, kind, shape, dtype, periodic, shard=None):
     if settings.kernel_backend != "pallas" or any(periodic):
         return False
+    if shard is not None:
+        from cedar_tpu.parallel import shard_relax
+
+        return shard_relax.supported3(shape, dtype, kind, shard)
     from cedar_tpu.ops import pallas3
 
     return pallas3.supported(shape, dtype, kind)
 
 
-def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic):
+def _pallas_relax(lev, x, b, updown, shard, fuse_residual=False):
+    """Fused Pallas sweep — per-shard under shard_map when sharded."""
+    if shard is not None:
+        from cedar_tpu.parallel import shard_relax
+
+        return shard_relax.point_relax3(
+            shard, lev.so, x, b, updown, fuse_residual
+        )
+    from cedar_tpu.ops import pallas3
+
+    return pallas3.point_relax(lev.so, x, b, lev.recip, updown,
+                               fuse_residual)
+
+
+def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic,
+            shard=None):
     """One smoothing application (reference: multilevel.h:134-223).
 
     For plane-xyz relaxation the reference applies xy, yz, xz sweeps on the
@@ -38,10 +57,8 @@ def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic):
     """
     rt = settings.relaxation
     if rt == RelaxType.point:
-        if _use_pallas(settings, kind, x.shape, x.dtype, periodic):
-            from cedar_tpu.ops import pallas3
-
-            return pallas3.point_relax(lev.so, x, b, lev.recip, updown)
+        if _use_pallas(settings, kind, x.shape, x.dtype, periodic, shard):
+            return _pallas_relax(lev, x, b, updown, shard)
         return point_relax(lev.so, x, b, lev.recip, kind, updown, periodic)
     if rt in (RelaxType.plane_xy, RelaxType.plane_xz, RelaxType.plane_yz,
               RelaxType.plane_xyz):
@@ -56,15 +73,19 @@ def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic):
     raise ValueError(f"invalid 3D relaxation: {rt}")
 
 
-def _nsmooth(lev, kind, x, b, settings, updown, periodic, nrelax):
+def _nsmooth(lev, kind, x, b, settings, updown, periodic, nrelax,
+             shard=None):
     """``nrelax`` identical sweeps as one lax.scan (smaller compiled graph)."""
     if nrelax <= 1:
         for _ in range(nrelax):
-            x = _smooth(lev, kind, x, b, settings, updown, periodic)
+            x = _smooth(lev, kind, x, b, settings, updown, periodic, shard)
         return x
 
     def body(x, _):
-        return _smooth(lev, kind, x, b, settings, updown, periodic), None
+        return (
+            _smooth(lev, kind, x, b, settings, updown, periodic, shard),
+            None,
+        )
 
     x, _ = jax.lax.scan(body, x, None, length=nrelax)
     return x
@@ -114,26 +135,24 @@ def ncycle(
     """Recursive n-cycle (n=1: V, n=2: W).  Reference: vcycle.h:57-115."""
     lev = levels[lvl]
     kind = kinds[lvl]
+    shard = constraints[lvl] if constraints is not None else None
 
     if (
         settings.relaxation == RelaxType.point
         and settings.nrelax_pre >= 1
-        and _use_pallas(settings, kind, x.shape, x.dtype, periodic)
+        and _use_pallas(settings, kind, x.shape, x.dtype, periodic, shard)
     ):
         # fused final pre-smooth + residual: one HBM pass for both
-        from cedar_tpu.ops import pallas3
-
         with scope("relaxation"):
             x = _nsmooth(lev, kind, x, b, settings, "down", periodic,
-                         settings.nrelax_pre - 1)
+                         settings.nrelax_pre - 1, shard)
         with scope("relaxation-residual-fused"):
-            x, res = pallas3.point_relax(
-                lev.so, x, b, lev.recip, "down", fuse_residual=True
-            )
+            x, res = _pallas_relax(lev, x, b, "down", shard,
+                                   fuse_residual=True)
     else:
         with scope("relaxation"):
             x = _nsmooth(lev, kind, x, b, settings, "down", periodic,
-                         settings.nrelax_pre)
+                         settings.nrelax_pre, shard)
 
         with scope("residual"):
             res = residual(lev.so, x, b, kind, periodic)
@@ -166,7 +185,7 @@ def ncycle(
         # post-smoothing (reference: IRELAX_SYM, BMG3_SymStd_relax_GS.f90)
         post = "up" if settings.relax_symmetric else "down"
         x = _nsmooth(lev, kind, x, b, settings, post, periodic,
-                     settings.nrelax_post)
+                     settings.nrelax_post, shard)
     return x
 
 

@@ -49,23 +49,41 @@ def _merge_axis(lo: jnp.ndarray, hi: jnp.ndarray, axis: int, n: int):
     return out
 
 
+def _split_axis(a: jnp.ndarray, axis: int):
+    """(…, n, …) -> even/odd subgrids along ``axis`` via pad-to-even +
+    reshape + minor-index — the inverse of :func:`_merge_axis`, and like it
+    a contiguous layout op (measured ~0.23 ms at 4096² f32 versus ~4.6 ms
+    for a single-axis stride-2 slice and ~194 ms for a fused double-strided
+    slice)."""
+    n = a.shape[axis]
+    if n % 2:
+        pads = [(0, 0)] * a.ndim
+        pads[axis] = (0, 1)
+        a = jnp.pad(a, pads)
+    shape = list(a.shape)
+    shape[axis] = shape[axis] // 2
+    shape.insert(axis + 1, 2)
+    r = a.reshape(shape)
+    even = jax.lax.index_in_dim(r, 0, axis + 1, keepdims=False)
+    odd = jax.lax.index_in_dim(r, 1, axis + 1, keepdims=False)
+    if n % 2:
+        odd = jax.lax.slice_in_dim(odd, 0, n // 2, axis=axis)
+    return even, odd
+
+
 def deinterleave2(a: jnp.ndarray):
     """Split (nx, ny) into parity subgrids.
 
     Returns dict ``(pz, pw) -> subgrid`` with shapes
     ``(ceil/floor(nx/2), ceil/floor(ny/2))`` according to parity.
 
-    Implemented as two single-axis strided slices separated by an
-    optimization barrier: each single-axis stride-2 slice is near-free on
-    TPU, while the fused double-strided slice is a pathological lane-gather
-    (measured ~2.5 ms vs ~0.05 ms at 1024² f32).
+    Implemented axis-by-axis with the reshape-based :func:`_split_axis`
+    (a fused double-strided slice is a pathological lane-gather on TPU).
     """
-    rows = {0: a[0::2, :], 1: a[1::2, :]}
+    rows = dict(zip((0, 1), _split_axis(a, 0)))
     out = {}
     for pz, r in rows.items():
-        r = jax.lax.optimization_barrier(r)
-        out[(pz, 0)] = r[:, 0::2]
-        out[(pz, 1)] = r[:, 1::2]
+        out[(pz, 0)], out[(pz, 1)] = _split_axis(r, 1)
     return out
 
 
@@ -100,12 +118,9 @@ def deinterleave3(a: jnp.ndarray):
     multi-axis strided slice is a pathological lane-gather).
     """
     out = {}
-    for p0 in (0, 1):
-        r0 = jax.lax.optimization_barrier(a[p0::2])
-        for p1 in (0, 1):
-            r1 = jax.lax.optimization_barrier(r0[:, p1::2])
-            out[(p0, p1, 0)] = r1[:, :, 0::2]
-            out[(p0, p1, 1)] = r1[:, :, 1::2]
+    for p0, r0 in zip((0, 1), _split_axis(a, 0)):
+        for p1, r1 in zip((0, 1), _split_axis(r0, 1)):
+            out[(p0, p1, 0)], out[(p0, p1, 1)] = _split_axis(r1, 2)
     return out
 
 

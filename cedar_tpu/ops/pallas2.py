@@ -43,26 +43,16 @@ from cedar_tpu.core.types import Dir2, StencilKind
 INTERPRET = False
 
 _H = 8
-_VMEM_BUDGET = 9 * 1024 * 1024
-
-
-def _tile_rows(ny: int, ndir: int = 3, dtype_bytes: int = 4) -> int:
-    """Rows per slab under the VMEM budget (multiple of 8, >= 8).
-
-    Live slabs: q + b + ndir stencil planes in scratch, plus roughly
-    ndir shifted coupling planes and a few working values on the compiler
-    stack — budget for 5 + 2*ndir slab-sized buffers (validated against
-    Mosaic's scoped-vmem accounting at ny=4096/2048).
-    """
-    rowbytes = ny * dtype_bytes
-    total = _VMEM_BUDGET // ((5 + 2 * ndir) * rowbytes)
-    t = (total - 2 * _H) // 8 * 8
-    return max(t, 8)
+# Mosaic's scoped-vmem (compute temporaries) limit; the default 16 MB is
+# below what one slab's color phases need at useful tile sizes.
+_SCOPED_VMEM = 64 * 1024 * 1024
 
 
 def _tile_for(nx: int, ny: int, ndir: int) -> int:
-    """Slab rows clamped so one slab never exceeds the grid."""
-    return min(_tile_rows(ny, ndir), (nx - 2 * _H) // 8 * 8)
+    """Slab rows: fixed 128 (the pipeline hides DMA latency; 2*H/T halo
+    refetch is 12.5%), shrunk to one whole-grid slab for small grids."""
+    del ny, ndir
+    return 128 if nx >= 128 else -(-nx // 8) * 8
 
 
 def _color_order(kind: StencilKind, updown: str):
@@ -133,41 +123,52 @@ def _offdiag_slab(cpl, q):
 
 
 def _sweep_kernel(
-    orig_ref, so_hbm, b_hbm, q_hbm, out_hbm, res_hbm,
-    qs, sos, bs, sems,
+    orig_ref, so_m, so_t, so_b, b_m, b_t, b_b, q_m, q_t, q_b,
+    out_m, res_m,
     *, kind, updown, T, nx, ny, fuse_residual,
 ):
+    """One slab of the sweep: all color phases on a (T + 2H)-row window.
+
+    The window is the mid block plus H-row halo blocks above/below, fed as
+    separate pipelined input streams (Pallas double-buffers each stream, so
+    slab k+1's fetch and slab k-1's writeback overlap slab k's phases).
+    At the grid edges the halo block indices clamp and deliver duplicate
+    rows; every read into them is annihilated — by the stored convention's
+    zero boundary couplings at the low edge, and by the explicit
+    ``gi``-mask on the up-shifted coupling planes at the high edge."""
     nine = kind != StencilKind.five_pt
     H = _H
     R = T + 2 * H
     i = pl.program_id(0)
-    row0 = jnp.maximum(0, jnp.minimum(i * T - H, nx - R))
-    # all terms are multiples of 8, but Mosaic cannot prove it through
-    # max/min — rewrite as 8*(...//8) and hint
-    row0 = pl.multiple_of((row0 // 8) * 8, 8)
 
-    cps = [
-        pltpu.make_async_copy(q_hbm.at[pl.ds(row0, R)], qs, sems.at[0]),
-        pltpu.make_async_copy(so_hbm.at[:, pl.ds(row0, R)], sos, sems.at[1]),
-        pltpu.make_async_copy(b_hbm.at[pl.ds(row0, R)], bs, sems.at[2]),
-    ]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
+    so = jnp.concatenate([so_t[...], so_m[...], so_b[...]], axis=1)
+    b = jnp.concatenate([b_t[...], b_m[...], b_b[...]], axis=0)
+    q = jnp.concatenate([q_t[...], q_m[...], q_b[...]], axis=0)
 
     # color masks anchor to GLOBAL indices; orig_ref carries the global
     # index of local element (0, 0) (nonzero only under shard_map — the
     # sharded analogue of the reference's iGs/jGs anchoring)
+    row0 = i * T - H
     gi = (orig_ref[0] + row0
           + jax.lax.broadcasted_iota(jnp.int32, (R, ny), 0))
     gj = orig_ref[1] + jax.lax.broadcasted_iota(jnp.int32, (R, ny), 1)
+    # local row index for the high-boundary coupling mask (gi is global
+    # and must NOT be used here: under shard_map the local high edge is a
+    # neighbor halo, and only the last row — discarded there — is masked)
+    li = row0 + jax.lax.broadcasted_iota(jnp.int32, (R, ny), 0)
+    himask = li < (nx - 1)
 
-    diag = sos[Dir2.O]
-    cpl = _shifted_couplings(sos, nine)
-    b = bs[:]
+    diag = so[Dir2.O]
+    cpl = _shifted_couplings(so, nine)
+    # zero the up-shifted (dz=1) coupling planes at the true high edge:
+    # _shift_zero's zero-fill lands at the WINDOW edge, which coincides
+    # with the grid edge only when the last block has no halo duplicates
+    zero = jnp.zeros((), so.dtype)
+    cpl = {
+        off: (jnp.where(himask, c, zero) if off[0] > 0 else c)
+        for off, c in cpl.items()
+    }
     rec = 1.0 / diag
-    q = qs[:]
     for color in _color_order(kind, updown):
         if nine:
             cw, cz = color
@@ -177,24 +178,10 @@ def _sweep_kernel(
         upd = (b + _offdiag_slab(cpl, q)) * rec
         q = jnp.where(mask, upd, q)
 
-    qs[:] = q
-    ostart = jnp.maximum(0, jnp.minimum(i * T, nx - T))
-    ostart = pl.multiple_of((ostart // 8) * 8, 8)
-    loff = pl.multiple_of(((ostart - row0) // 8) * 8, 8)
-    out = pltpu.make_async_copy(
-        qs.at[pl.ds(loff, T)], out_hbm.at[pl.ds(ostart, T)], sems.at[0]
-    )
-    out.start()
-    out.wait()
-
+    out_m[:] = q[H : H + T]
     if fuse_residual:
         res = b + _offdiag_slab(cpl, q) - diag * q
-        bs[:] = res
-        rout = pltpu.make_async_copy(
-            bs.at[pl.ds(loff, T)], res_hbm.at[pl.ds(ostart, T)], sems.at[1]
-        )
-        rout.start()
-        rout.wait()
+        res_m[:] = res[H : H + T]
 
 
 def aligned(shape) -> bool:
@@ -202,19 +189,26 @@ def aligned(shape) -> bool:
     return shape[0] % 8 == 0 and shape[1] % 128 == 0
 
 
+def _padded_dims(nx: int, ny: int):
+    """(nxp, nyp, T): lane width to 128, rows to a multiple of the slab."""
+    nyp = -(-ny // 128) * 128
+    nxp8 = -(-nx // 8) * 8
+    T = _tile_for(nxp8, nyp, 0)
+    nxp = -(-nxp8 // T) * T
+    return nxp, nyp, T
+
+
 def supported(shape, dtype, kind=StencilKind.nine_pt) -> bool:
     """Pallas sweep applicability (else callers use the XLA path).
 
-    Unaligned shapes are padded up (see :func:`point_relax_padded`), so
-    only the padded tile budget gates."""
+    Unaligned shapes are padded up (see :func:`point_relax`), so only the
+    padded dimensions gate."""
+    del kind
     nx, ny = shape
     if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
         return False
-    nxp = -(-nx // 8) * 8
-    nyp = -(-ny // 128) * 128
-    ndir = 3 if kind == StencilKind.five_pt else 5
-    t = _tile_for(nxp, nyp, ndir)
-    return t >= 32 and nyp >= 256
+    nxp, nyp, t = _padded_dims(nx, ny)
+    return t >= 32 and 256 <= nyp <= 6144
 
 
 def point_relax(so, q, b, rec, kind, updown, fuse_residual=False,
@@ -232,11 +226,10 @@ def point_relax(so, q, b, rec, kind, updown, fuse_residual=False,
     nx, ny = q.shape
     if origin is None:
         origin = jnp.zeros((2,), jnp.int32)
-    if aligned((nx, ny)):
+    nxp, nyp, _ = _padded_dims(nx, ny)
+    if (nx, ny) == (nxp, nyp):
         return _point_relax_call(so, q, b, rec, kind, updown, fuse_residual,
                                  origin)
-    nxp = -(-nx // 8) * 8
-    nyp = -(-ny // 128) * 128
     pw = ((0, nxp - nx), (0, nyp - ny))
     so_p = jnp.pad(so, ((0, 0),) + pw)
     so_p = so_p.at[Dir2.O, nx:, :].set(1.0)
@@ -266,7 +259,7 @@ def _point_relax_call(so, q, b, rec, kind, updown, fuse_residual=False,
     nx, ny = q.shape
     ndir = so.shape[0]
     T = _tile_for(nx, ny, ndir)
-    R = T + 2 * _H
+    assert nx % T == 0 and ny % 128 == 0
     dtype = q.dtype
     if origin is None:
         origin = jnp.zeros((2,), jnp.int32)
@@ -284,22 +277,53 @@ def _point_relax_call(so, q, b, rec, kind, updown, fuse_residual=False,
         jax.ShapeDtypeStruct((nx, ny), dtype),
         jax.ShapeDtypeStruct((nx, ny) if fuse_residual else (8, 128), dtype),
     ]
-    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    tb = T // 8
+    nb = nx // 8 - 1  # highest valid 8-row block index
+
+    def mid2(i):
+        return (i, 0)
+
+    def top2(i):
+        return (jnp.maximum(i * tb - 1, 0), 0)
+
+    def bot2(i):
+        return (jnp.minimum((i + 1) * tb, nb), 0)
+
+    def mid3(i):
+        return (0, i, 0)
+
+    def top3(i):
+        return (0, jnp.maximum(i * tb - 1, 0), 0)
+
+    def bot3(i):
+        return (0, jnp.minimum((i + 1) * tb, nb), 0)
+
     q_out, res = pl.pallas_call(
         kernel,
-        grid=(pl.cdiv(nx, T),),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [anyspec] * 3,
-        out_specs=[anyspec, anyspec],
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((R, ny), dtype),          # q slab
-            pltpu.VMEM((ndir, R, ny), dtype),    # stencil slab
-            pltpu.VMEM((R, ny), dtype),          # b slab / residual staging
-            pltpu.SemaphoreType.DMA((3,)),
+        grid=(nx // T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ndir, T, ny), mid3),
+            pl.BlockSpec((ndir, _H, ny), top3),
+            pl.BlockSpec((ndir, _H, ny), bot3),
+            pl.BlockSpec((T, ny), mid2),
+            pl.BlockSpec((_H, ny), top2),
+            pl.BlockSpec((_H, ny), bot2),
+            pl.BlockSpec((T, ny), mid2),
+            pl.BlockSpec((_H, ny), top2),
+            pl.BlockSpec((_H, ny), bot2),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        out_specs=[
+            pl.BlockSpec((T, ny), mid2),
+            pl.BlockSpec((T, ny), mid2) if fuse_residual
+            else pl.BlockSpec((8, 128), lambda i: (0, 0)),
+        ],
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM,
+        ),
         interpret=INTERPRET,
-    )(origin, so, b, q)
+    )(origin, so, so, so, b, b, b, q, q, q)
     if fuse_residual:
         return q_out, res
     return q_out

@@ -71,8 +71,9 @@ def test_supported_gates():
     # unaligned shapes are padded up and stay supported
     assert pallas2.supported((2049, 2048), f32, five)
     assert pallas2.supported((400, 400), f32, five)
-    # 9-pt at 4096-wide rows: slab would undershoot the efficiency floor
-    assert not pallas2.supported((4096, 4096), f32, nine)
+    assert pallas2.supported((4096, 4096), f32, nine)
+    # beyond the lane budget (scoped-vmem for one slab's phases)
+    assert not pallas2.supported((4096, 8192), f32, five)
     assert not pallas2.supported((4096, 4096), jnp.float64, five)
     assert not pallas2.supported((64, 128), f32, five)     # too small
 

@@ -156,7 +156,18 @@ def interleave3(parts: dict, n0: int, n1: int, n2: int) -> jnp.ndarray:
 
 def subgrid_sample(sub: jnp.ndarray, dz: int, dw: int, out_shape):
     """``out[z, w] = sub[z + dz, w + dw]``, zero outside, padded/cropped to
-    ``out_shape`` (coarse grid).  All contiguous ops."""
+    ``out_shape`` (coarse grid).  All contiguous ops.
+
+    For the common ±1-offset case the pad is a UNIFORM unit ring plus the
+    shape deficit, identical across offsets, so XLA CSEs the pads of one
+    ``sub`` into a single materialization (offset-dependent pads cost an
+    HBM round trip per sample)."""
+    hz = out_shape[0] + 2 - sub.shape[0]
+    hw = out_shape[1] + 2 - sub.shape[1]
+    if abs(dz) <= 1 and abs(dw) <= 1 and hz >= 0 and hw >= 0:
+        p = jnp.pad(sub, ((1, hz), (1, hw)))
+        return p[1 + dz : 1 + dz + out_shape[0],
+                 1 + dw : 1 + dw + out_shape[1]]
     pz_lo = max(-dz, 0)
     pw_lo = max(-dw, 0)
     need_z = out_shape[0] + dz  # max index +1 read from sub

@@ -1,0 +1,301 @@
+"""Hybrid Pallas/XLA kernels for the 2D grid transfers (restrict/interp_add).
+
+The XLA formulations (:mod:`cedar_tpu.ops.interp2`) materialize every
+parity split, shift, pad and merge as an HBM round trip — measured
+1.3-1.7 ms each at 4096² f32 against ~0.35-0.55 ms traffic floors.
+
+Division of labor (Mosaic supports SUBLANE reshapes in-kernel but not
+LANE reshapes, probed):
+
+* XLA: the lane-parity split of the residual (one fused pass via
+  reshape + minor-index, ~0.2 ms at 4096²) and the final lane/row merge
+  of the interpolation parts (interleave2);
+* Pallas: everything else — row-parity splits, CI-weighted sums, the
+  res/diag correction — streaming row slabs with zero intermediate HBM
+  traffic.  The 8 CI weight planes stream from a PRE-PADDED copy built
+  once at setup (:func:`pad_ci`), and 1/diag streams from a setup-built
+  lane-split copy (:func:`setup_rec2`).
+
+Math is exactly :func:`cedar_tpu.ops.interp2.restrict` /
+:func:`~cedar_tpu.ops.interp2.interp_add` (reference:
+BMG2_SymStd_restrict.f90:76-92, BMG2_SymStd_interp_add.f90:101-137), terms
+summed in the same order.  Non-periodic only — callers gate and fall back
+to the XLA path.
+
+Boundary semantics mirror the dense path: out-of-range fine/coarse reads
+are zeros (pad regions are zero-filled; the CI planes' unset row/column 0
+annihilate the clamped top-halo duplicates)."""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cedar_tpu.core.parity import _split_axis, interleave2
+from cedar_tpu.core.types import Dir2, InterpDir2 as L
+
+INTERPRET = False
+
+_TC = 64            # coarse rows per grid step (fine slab: 128 rows)
+_H = 8
+_SCOPED_VMEM = 64 * 1024 * 1024   # Mosaic compute-temporary (stack) limit
+
+
+def fine_pad_dims(nx: int, ny: int):
+    """Padded fine dims: rows to a multiple of 2*_TC, lanes to a multiple
+    of 256 (so half-width lanes stay 128-aligned)."""
+    nxp = -(-nx // (2 * _TC)) * (2 * _TC)
+    nyp = -(-ny // 256) * 256
+    return nxp, nyp
+
+
+def supported(fine_shape, dtype) -> bool:
+    nx, ny = fine_shape
+    if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
+        return False
+    nxp, nyp = fine_pad_dims(nx, ny)
+    # small grids stay on the XLA path (padding overhead dominates)
+    return 256 <= nyp <= 8192 and nx >= 2 * _TC
+
+
+def pad_ci(ci: jnp.ndarray, nx: int, ny: int) -> jnp.ndarray:
+    """Zero-pad CI once at setup: (8, nxc+1, nyc+1) -> (8, nxp/2+8, nyp/2+128).
+
+    ``(nx, ny)`` are the FINE dims of the level this CI interpolates to."""
+    nxp, nyp = fine_pad_dims(nx, ny)
+    rows = nxp // 2 + _H
+    cols = nyp // 2 + 128
+    return jnp.pad(
+        ci,
+        ((0, 0), (0, rows - ci.shape[1]), (0, cols - ci.shape[2])),
+    )
+
+
+def setup_rec2(so: jnp.ndarray) -> jnp.ndarray:
+    """Lane-split reciprocal diagonal, built once at setup: (2, nxp, W)
+    with plane 0 = 1/diag at even columns, plane 1 at odd columns."""
+    diag = so[Dir2.O]
+    nx, ny = diag.shape
+    nxp, nyp = fine_pad_dims(nx, ny)
+    rec = jnp.where(diag == 0, 1.0, 1.0 / diag)
+    rec = jnp.pad(rec, ((0, nxp - nx), (0, nyp - ny)))
+    e, o = _split_axis(rec, 1)
+    return jnp.stack([e, o])
+
+
+def lane_split_res(res: jnp.ndarray) -> jnp.ndarray:
+    """Pad the residual to the kernel dims and lane-split: (2, nxp, W).
+
+    One fused XLA pass; shared by restrict and interp_add."""
+    nx, ny = res.shape
+    nxp, nyp = fine_pad_dims(nx, ny)
+    if (nx, ny) != (nxp, nyp):
+        res = jnp.pad(res, ((0, nxp - nx), (0, nyp - ny)))
+    e, o = _split_axis(res, 1)
+    return jnp.stack([e, o])
+
+
+def _row_split(a):
+    """(2r, W) -> rows 2k and 2k+1 (sublane reshape — Mosaic-supported)."""
+    r = a.reshape(a.shape[0] // 2, 2, a.shape[1])
+    return r[:, 0], r[:, 1]
+
+
+def _shr(a):
+    """out[:, w] = a[:, w-1], zero at w = 0 (roll + mask: Mosaic does not
+    support unaligned lane concatenation)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+    return jnp.where(lane == 0, 0.0, pltpu.roll(a, 1, a.ndim - 1))
+
+
+def _shl(a):
+    """out[:, w] = a[:, w+1], zero at the high edge."""
+    n = a.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, a.shape, a.ndim - 1)
+    return jnp.where(lane == n - 1, 0.0, pltpu.roll(a, n - 1, a.ndim - 1))
+
+
+# ---------------------------------------------------------------------------
+# restrict: qc = Pᵀ res
+# ---------------------------------------------------------------------------
+
+def _restrict_kernel(r2_t, r2_m, ci_m, ci_b, out, *, Tc, W):
+    win = jnp.concatenate([r2_t[...], r2_m[...]], axis=1)  # (2, 2Tc+8, W)
+    E0, E1 = _row_split(win[0])       # res[2k, 2w] / res[2k+1, 2w]
+    O0, O1 = _row_split(win[1])       # res[2k, 2w+1] / res[2k+1, 2w+1]
+    h = _H // 2                       # halo: 8 fine rows = 4 row pairs
+
+    c = E0[h : h + Tc]                  # res[2zc, 2wc]
+    w_ = E1[h - 1 : h - 1 + Tc]         # res[2zc-1, 2wc]
+    e_ = E1[h : h + Tc]                 # res[2zc+1, 2wc]
+    s_ = _shr(O0)[h : h + Tc]           # res[2zc, 2wc-1]
+    n_ = O0[h : h + Tc]                 # res[2zc, 2wc+1]
+    sw = _shr(O1)[h - 1 : h - 1 + Tc]   # res[2zc-1, 2wc-1]
+    se = _shr(O1)[h : h + Tc]           # res[2zc+1, 2wc-1]
+    nw = O1[h - 1 : h - 1 + Tc]         # res[2zc-1, 2wc+1]
+    ne = O1[h : h + Tc]                 # res[2zc+1, 2wc+1]
+
+    ci = jnp.concatenate([ci_m[...], ci_b[...]], axis=1)
+
+    def base(p):
+        return ci[p, :Tc, :W]
+
+    def rs(p):
+        return ci[p, 1 : 1 + Tc, :W]
+
+    def sl(p, ks):
+        # CI[p, zc+ks, wc+1]: shift at FULL lane width first (column W —
+        # the high-edge weight — must survive), then crop
+        return _shl(ci[p, ks : ks + Tc])[:, :W]
+
+    # same term order as ops.interp2.restrict (PW_TABLE iteration order)
+    qc = c
+    qc = qc + base(L.LR) * w_
+    qc = qc + rs(L.LL) * e_
+    qc = qc + base(L.LA) * s_
+    qc = qc + sl(L.LB, 0) * n_
+    qc = qc + base(L.LNE) * sw
+    qc = qc + rs(L.LNW) * se
+    qc = qc + sl(L.LSE, 0) * nw
+    qc = qc + sl(L.LSW, 1) * ne
+    out[...] = qc
+
+
+@functools.partial(jax.jit, static_argnames=("nc",))
+def _restrict_call(cip, res2, nc):
+    _, nxp, W = res2.shape
+    nyr = cip.shape[2]
+    Tc = _TC
+    nb = nxp // (2 * Tc)
+
+    kernel = functools.partial(_restrict_kernel, Tc=Tc, W=W)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((2, _H, W),
+                         lambda i: (0,
+                                    jnp.maximum(i * (2 * Tc // _H) - 1, 0),
+                                    0)),
+            pl.BlockSpec((2, 2 * Tc, W), lambda i: (0, i, 0)),
+            pl.BlockSpec((8, Tc, nyr), lambda i: (0, i, 0)),
+            pl.BlockSpec((8, _H, nyr),
+                         lambda i: (0, (i + 1) * (Tc // _H), 0)),
+        ],
+        out_specs=pl.BlockSpec((Tc, W), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nxp // 2, W), res2.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_SCOPED_VMEM),
+        interpret=INTERPRET,
+    )(res2, res2, cip, cip)
+    return out[: nc[0], : nc[1]]
+
+
+def restrict(cip, res2, nc):
+    """``qc = Pᵀ res`` from the lane-split residual (non-periodic).
+
+    ``cip`` from :func:`pad_ci`; ``res2`` from :func:`lane_split_res`;
+    ``nc`` the true coarse shape."""
+    return _restrict_call(cip, res2, tuple(nc))
+
+
+# ---------------------------------------------------------------------------
+# interp_add: q += P qc (+ res/diag at fine-only points)
+# ---------------------------------------------------------------------------
+
+def _interp_kernel(qc_m, qc_b, ci_m, ci_b, r2_m, rec2_m, parts, *, Tc, W):
+    # full (128-aligned) lane width throughout; the wc+1 shifts are rolls
+    # at aligned width then crops (unaligned lane slices lower pathologically)
+    qc = jnp.concatenate([qc_m[...], qc_b[...]], axis=0)
+    ci = jnp.concatenate([ci_m[...], ci_b[...]], axis=1)
+
+    def b0(a):
+        return a[:Tc, :W]
+
+    def b1r(a):
+        return a[1 : 1 + Tc, :W]
+
+    def s1l(a):
+        return _shl(a[:Tc])[:, :W]
+
+    def s1lr(a):
+        return _shl(a[1 : 1 + Tc])[:, :W]
+
+    E0, E1 = _row_split(r2_m[0])
+    O0, O1 = _row_split(r2_m[1])
+    rE0, rE1 = _row_split(rec2_m[0])
+    rO0, rO1 = _row_split(rec2_m[1])
+    r01 = O0 * rO0     # fine (2k, 2j+1)
+    r10 = E1 * rE1     # fine (2k+1, 2j)
+    r11 = O1 * rO1     # fine (2k+1, 2j+1)
+
+    part00 = b0(qc)
+    part01 = s1l(ci[L.LA]) * s1l(qc) + s1l(ci[L.LB]) * b0(qc) + r01
+    part10 = b1r(ci[L.LR]) * b1r(qc) + b1r(ci[L.LL]) * b0(qc) + r10
+    part11 = (
+        s1lr(ci[L.LSW]) * b0(qc)
+        + s1lr(ci[L.LNW]) * s1l(qc)
+        + s1lr(ci[L.LNE]) * s1lr(qc)
+        + s1lr(ci[L.LSE]) * b1r(qc)
+        + r11
+    )
+    parts[0] = part00
+    parts[1] = part01
+    parts[2] = part10
+    parts[3] = part11
+
+
+@jax.jit
+def _interp_call(cip, rec2, qc, res2):
+    _, nxp, W = res2.shape
+    rows = nxp // 2 + _H
+    cols = W + 128
+    qcp = jnp.zeros((rows, cols), qc.dtype)
+    qcp = qcp.at[: qc.shape[0], : qc.shape[1]].set(qc)
+    nyr = cip.shape[2]
+    Tc = _TC
+    nb = nxp // (2 * Tc)
+
+    kernel = functools.partial(_interp_kernel, Tc=Tc, W=W)
+    parts = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((Tc, cols), lambda i: (i, 0)),
+            pl.BlockSpec((_H, cols), lambda i: ((i + 1) * (Tc // _H), 0)),
+            pl.BlockSpec((8, Tc, nyr), lambda i: (0, i, 0)),
+            pl.BlockSpec((8, _H, nyr),
+                         lambda i: (0, (i + 1) * (Tc // _H), 0)),
+            pl.BlockSpec((2, 2 * Tc, W), lambda i: (0, i, 0)),
+            pl.BlockSpec((2, 2 * Tc, W), lambda i: (0, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((4, Tc, W), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((4, nxp // 2, W), qc.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_SCOPED_VMEM),
+        interpret=INTERPRET,
+    )(qcp, qcp, cip, cip, res2, rec2)
+    return parts
+
+
+def interp_add(cip, rec2, qc, res2, q):
+    """``q + P qc + res/diag`` (non-periodic).
+
+    The Pallas kernel emits the four parity parts; the final lane/row merge
+    runs as one fused XLA pass (Mosaic cannot lane-reshape in-kernel)."""
+    nx, ny = q.shape
+    parts = _interp_call(cip, rec2, qc, res2)
+    _, nxh, W = parts.shape[0], parts.shape[1], parts.shape[2]
+    merged = interleave2(
+        {
+            (0, 0): parts[0],
+            (0, 1): parts[1],
+            (1, 0): parts[2],
+            (1, 1): parts[3],
+        },
+        2 * parts.shape[1],
+        2 * W,
+    )
+    return q + merged[:nx, :ny]

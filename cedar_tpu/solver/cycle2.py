@@ -158,8 +158,20 @@ def ncycle(
         with scope("residual"):
             res = residual(lev.so, x, b, kind, periodic)
     coarse = levels[lvl + 1]
-    with scope("restrict"):
-        cb = restrict(coarse.ci, res, periodic)
+    # Pallas transfer kernels: one shared lane-split of the residual feeds
+    # both restrict and interp_add (in-kernel lane reshapes are unsupported)
+    use_pt = (
+        coarse.cip is not None and lev.rec2 is not None and shard is None
+    )
+    if use_pt:
+        from cedar_tpu.ops import pallas_transfer2 as pt
+
+        res2 = pt.lane_split_res(res)
+        with scope("restrict"):
+            cb = pt.restrict(coarse.cip, res2, coarse.so.shape[1:])
+    else:
+        with scope("restrict"):
+            cb = restrict(coarse.ci, res, periodic)
     if constraints is not None:
         # agglomeration point: pin the coarse level's (sub)mesh placement
         cb = jax.lax.with_sharding_constraint(cb, constraints[lvl + 1])
@@ -177,7 +189,10 @@ def ncycle(
                         n, constraints)
 
     with scope("interp-add"):
-        x = interp_add(coarse.ci, lev.so, cx, res, x, periodic)
+        if use_pt:
+            x = pt.interp_add(coarse.cip, lev.rec2, cx, res2, x)
+        else:
+            x = interp_add(coarse.ci, lev.so, cx, res, x, periodic)
     if constraints is not None:
         x = jax.lax.with_sharding_constraint(x, constraints[lvl])
 

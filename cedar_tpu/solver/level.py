@@ -28,3 +28,7 @@ class Level(NamedTuple):
     #                                           plane hierarchy (plane relax)
     inner: Optional[tuple] = None             # coarsest: inner multigrid
     #                                  hierarchy (cg-solver "cedar"/"redist")
+    cip: Optional[jnp.ndarray] = None         # setup-padded CI (2D Pallas
+    #                                           transfer kernels)
+    rec2: Optional[jnp.ndarray] = None        # lane-split 1/diag (2D Pallas
+    #                                           transfer kernels)

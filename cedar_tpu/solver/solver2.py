@@ -103,15 +103,42 @@ def setup_hierarchy(
         kinds.append(kind)
         cis.append(ci)
 
+    # Pallas transfer-kernel workspace: setup-padded CI (on the coarse
+    # level, keyed to the FINER level's dims) + lane-split 1/diag
+    use_pt = (
+        settings.kernel_backend == "pallas"
+        and not any(periodic)
+        and so_fine.ndim == 3
+    )
+
+    def _pt_fields(lvl):
+        """cip: padded copy of this level's ci (which interpolates lvl ->
+        lvl-1, so it pads to level lvl-1's FINE dims); rec2: this level's
+        lane-split reciprocal diagonal."""
+        from cedar_tpu.ops import pallas_transfer2 as pt
+
+        fine_ok = (
+            lvl >= 1
+            and use_pt
+            and pt.supported(sos[lvl - 1].shape[1:], sos[lvl - 1].dtype)
+        )
+        cip = (
+            pt.pad_ci(cis[lvl], *sos[lvl - 1].shape[1:]) if fine_ok else None
+        )
+        own_ok = use_pt and pt.supported(sos[lvl].shape[1:], sos[lvl].dtype)
+        rec2 = pt.setup_rec2(sos[lvl]) if own_ok else None
+        return cip, rec2
+
     levels = []
     for lvl in range(nlevels):
         if lvl < nlevels - 1:
             recip, sor_x, sor_y = setup_level_workspace(
                 sos[lvl], kinds[lvl], settings, periodic
             )
+            cip, rec2 = _pt_fields(lvl)
             levels.append(
                 Level(so=sos[lvl], recip=recip, sor_x=sor_x, sor_y=sor_y,
-                      ci=cis[lvl])
+                      ci=cis[lvl], cip=cip, rec2=rec2)
             )
         else:
             if settings.coarse_solver != CGType.lu and nlevels > 1:
@@ -127,7 +154,9 @@ def setup_hierarchy(
                     sos[lvl], StencilKind.nine_pt, nl_in, ist,
                     periodic, indefinite,
                 )
-                levels.append(Level(so=sos[lvl], ci=cis[lvl], inner=inner))
+                cip, _ = _pt_fields(lvl)
+                levels.append(Level(so=sos[lvl], ci=cis[lvl], inner=inner,
+                                    cip=cip))
             else:
                 # coarsest level: direct solve (no relaxation workspace,
                 # reference: multilevel.h:258-263 loops to num_levels-1 only)
@@ -135,7 +164,9 @@ def setup_hierarchy(
                     sos[lvl], kind=kinds[lvl], periodic=periodic,
                     indefinite=indefinite,
                 )
-                levels.append(Level(so=sos[lvl], ci=cis[lvl], ainv=ainv))
+                cip, _ = _pt_fields(lvl)
+                levels.append(Level(so=sos[lvl], ci=cis[lvl], ainv=ainv,
+                                    cip=cip))
     return tuple(levels)
 
 

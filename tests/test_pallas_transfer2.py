@@ -1,0 +1,71 @@
+"""Hybrid Pallas transfer kernels (restrict/interp_add) vs the XLA path.
+
+The kernels must reproduce ops.interp2.restrict / interp_add exactly
+(same term order, so bit-exact in practice) including padded odd shapes
+and the high-edge CI column.  Interpreter mode on CPU.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cedar_tpu.core.types import StencilKind
+from cedar_tpu.ops import pallas_transfer2 as pt
+from cedar_tpu.ops.interp2 import (
+    interp_add as interp_xla,
+    restrict as restrict_xla,
+    setup_interp,
+)
+
+
+@pytest.fixture(autouse=True)
+def _interpret(monkeypatch):
+    monkeypatch.setattr(pt, "INTERPRET", True)
+
+
+@pytest.mark.parametrize(
+    "nine,nx,ny",
+    [(False, 256, 256), (True, 129, 257), (False, 200, 300),
+     (True, 256, 384)],
+)
+def test_transfer_kernels_match_xla(nine, nx, ny):
+    from test_kernels_2d import random_so
+
+    rng = np.random.default_rng(17 + nx)
+    so = jnp.asarray(random_so(rng, nx, ny, nine), jnp.float32)
+    kind = StencilKind.nine_pt if nine else StencilKind.five_pt
+    ci = setup_interp(so, kind)
+    nxc, nyc = (nx - 1) // 2 + 1, (ny - 1) // 2 + 1
+    res = jnp.asarray(rng.standard_normal((nx, ny)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((nx, ny)), jnp.float32)
+    qc = jnp.asarray(rng.standard_normal((nxc, nyc)), jnp.float32)
+
+    assert pt.supported((nx, ny), jnp.float32)
+    cip = pt.pad_ci(ci, nx, ny)
+    rec2 = pt.setup_rec2(so)
+    res2 = pt.lane_split_res(res)
+
+    # tight-allclose, not bit-equal: interpreter-mode pallas may execute on
+    # a different backend (TPU) than the pinned-CPU XLA reference, giving
+    # 1-2 ulp FMA differences; same-device runs are bit-exact (verified on
+    # TPU and CPU-only)
+    ref = restrict_xla(ci, res)
+    got = pt.restrict(cip, res2, (nxc, nyc))
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(got), rtol=3e-6, atol=3e-6
+    )
+
+    ref = interp_xla(ci, so, qc, res, q)
+    got = pt.interp_add(cip, rec2, qc, res2, q)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(got), rtol=3e-6, atol=3e-6
+    )
+
+
+def test_supported_gates():
+    f32 = jnp.float32
+    assert pt.supported((4096, 4096), f32)
+    assert pt.supported((400, 400), f32)
+    assert not pt.supported((64, 128), f32)          # too few rows
+    assert not pt.supported((4096, 4096), jnp.float64)
+    assert not pt.supported((4096, 16384), f32)      # beyond lane budget

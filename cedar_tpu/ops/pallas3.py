@@ -1,20 +1,27 @@
-"""Pallas TPU kernel: fused 3D 7-point red-black sweep (+ residual).
+"""Pallas TPU kernels: fused 3D multicolor sweeps (7-point and 27-point).
 
-Same design as the 2D sweep (:mod:`cedar_tpu.ops.pallas2`), lifted to 3D:
-both red-black phases (and optionally the trailing residual) run in ONE
-pass over HBM.  Tiles cover (x, y) with the full z extent as lanes —
-rank-3 arrays are tiled (8, 128) over their last two dims, so x windows
-are unconstrained (halo 3 = phases + residual), y windows need 8-aligned
-starts (halo 8), and z stays whole (``nz % 128 == 0`` required).
+Same blocked-pipeline design as the 2D sweep (:mod:`cedar_tpu.ops.pallas2`)
+applied to a FLATTENED view: (nx, ny, nz) is processed as (nx, ny*nz) —
+a free row-major reshape — so a y-shift is a lane roll by nz and a z-shift
+a lane roll by 1.  Every wrap term of these rolls lands on a position
+whose coupling is identically zero by the symmetric storage convention
+(e.g. the z-up coupling of (j, nz-1) reads the shifted B plane at
+(j+1, 0), and B[..., 0] == 0 stores the z-low boundary), so the flattened
+sweep is exact — the same annihilation argument the 2D kernel uses for its
+lane rolls.  This also makes lane padding cheap: ny*nz pads to a multiple
+of 128 (e.g. 129³ pads 16641 -> 16768 lanes, +0.8%, where padding nz alone
+would double the row).
 
-Boundary correctness is inherited from the symmetric storage convention:
-every circular (wrapped) read is multiplied by a coupling that is
-identically zero at the boundary — the stored planes' own zeros on the low
-side, zero-filled up-shifted coupling planes on the high side.
+Each grid step processes a full-width window of ``Tx + 2H`` x-rows, fed as
+mid + H-row halo blocks that Pallas double-buffers (slab k+1's fetch and
+slab k-1's writeback overlap slab k's phases).  All color phases (2 for
+7-pt red-black, 8 for the 27-pt colors of BMG3_SymStd_relax_GS.f90:85-143)
+plus the optional trailing residual run in ONE pass over HBM.  H = phases
++ 1.  Up-shifted-in-x coupling planes are masked at the true x high edge
+(clamped halo-block duplicates — cf. pallas2).
 
-The 27-point case intentionally stays on the XLA path: its 8 color phases
-would need halo 9 in both tiled dims, amplifying DMA traffic past the
-break-even point at bench sizes.
+Color masks anchor to GLOBAL indices via ``origin`` (the reference anchors
+to iGs/jGs/kGs parity) so shard_map shards agree.
 """
 
 from __future__ import annotations
@@ -27,201 +34,342 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cedar_tpu.core.types import Dir3, StencilKind
+from cedar_tpu.ops.stencil3 import NEIGHBOR_COUPLINGS_27
 
 INTERPRET = False
 
-_HX = 3          # phases (2) + fused residual (1); x dim is unconstrained
-_HY = 8          # y starts must be 8-aligned (sublane tiling)
-_VMEM_BUDGET = 9 * 1024 * 1024
+_VMEM_BUDGET = 124 * 1024 * 1024   # streams + compute temps share VMEM
 
 
-def _tiles_for(nx: int, ny: int, nz: int, dtype_bytes: int = 4):
-    """(Tx, Ty) under the VMEM budget: 6 window buffers + ~5 temporaries."""
-    colbytes = nz * dtype_bytes
-    cells = _VMEM_BUDGET // (11 * colbytes)  # (Rx * Ry) budget
-    ty = min(16, (ny - 2 * _HY) // 8 * 8)
-    ry = ty + 2 * _HY
-    rx = max(cells // ry, 1)
-    tx = min(rx - 2 * _HX, nx - 2 * _HX)
-    return tx, ty
+def _halo_for(kind: StencilKind) -> int:
+    """phases + 1 (fused residual), rounded up to the 8-row block quantum
+    (Pallas requires sublane block dims divisible by 8)."""
+    return 8 if kind == StencilKind.seven_pt else 16
 
 
-def _roll(a, dx, dy, dz):
-    out = a
-    for ax, d in enumerate((dx, dy, dz)):
-        if d:
-            out = pltpu.roll(out, (-d) % out.shape[ax], ax)
+def _ndir(kind: StencilKind) -> int:
+    return 4 if kind == StencilKind.seven_pt else 14
+
+
+def _couple_table(kind: StencilKind, nz: int):
+    """(row off, flat lane off) -> (plane, row shift, flat lane shift)."""
+    if kind == StencilKind.seven_pt:
+        table = {
+            (-1, 0, 0): (Dir3.PW, (0, 0, 0)),
+            (1, 0, 0): (Dir3.PW, (1, 0, 0)),
+            (0, -1, 0): (Dir3.PS, (0, 0, 0)),
+            (0, 1, 0): (Dir3.PS, (0, 1, 0)),
+            (0, 0, -1): (Dir3.B, (0, 0, 0)),
+            (0, 0, 1): (Dir3.B, (0, 0, 1)),
+        }
+    else:
+        table = NEIGHBOR_COUPLINGS_27
+    out = {}
+    for (dx, dy, dz), (plane, (sx, sy, sz)) in table.items():
+        out[(dx, dy * nz + dz)] = (plane, sx, sy * nz + sz)
     return out
 
 
-def _shift_zero(a, dx, dy, dz):
-    """out[i] = a[i + d] with zero fill (d >= 0 per axis)."""
-    out = a
-    for ax, d in enumerate((dx, dy, dz)):
-        if d:
-            pad_shape = list(out.shape)
-            pad_shape[ax] = d
-            pad = jnp.zeros(pad_shape, out.dtype)
-            idx = [slice(None)] * 3
-            idx[ax] = slice(d, None)
-            out = jnp.concatenate([out[tuple(idx)], pad], axis=ax)
-    return out
+def _tile_x(kind: StencilKind, kp: int, H: int, dtype_bytes: int = 4):
+    """x-rows per slab under the VMEM budget (a multiple of the halo H).
+
+    Budget: double-buffered streams of (q + b + ndir stencil) windows,
+    plus compute temporaries — the halo+mid concatenations (a full window),
+    every shifted coupling plane (Mosaic hoists them across the
+    loop-invariant phase loop; measured, not avoidable by restructuring
+    the Python), and ~8 working planes — and the double-buffered outputs."""
+    nd = _ndir(kind)
+    ncpl = 6 if kind == StencilKind.seven_pt else 26
+    rowb = kp * dtype_bytes
+    rows = _VMEM_BUDGET // rowb
+    # scoped: concat window + per-phase rolls AND the fused-residual pass's
+    # rolls (Mosaic schedules them eagerly; measured) + working planes
+    per = 2 * (nd + 2) + (2 * ncpl + (nd + 2) + 8)
+    tx = (rows - per * 2 * H) // (per + 4)
+    tx = tx // H * H
+    return tx
 
 
-def _couplings7(sos):
-    PW, PS, B = sos[Dir3.PW], sos[Dir3.PS], sos[Dir3.B]
-    return {
-        (-1, 0, 0): PW,
-        (1, 0, 0): _shift_zero(PW, 1, 0, 0),
-        (0, -1, 0): PS,
-        (0, 1, 0): _shift_zero(PS, 0, 1, 0),
-        (0, 0, -1): B,
-        (0, 0, 1): _shift_zero(B, 0, 0, 1),
-    }
+def _stream_bytes(kind, kp, H, Tx, fuse, dtype_bytes=4):
+    """Pallas's own double-buffered block allocations for one call."""
+    nd = _ndir(kind)
+    nout = 2 if fuse else 1
+    rows = 2 * (nd + 2) * (Tx + 2 * H) + 2 * nout * Tx
+    return rows * kp * dtype_bytes
 
 
-def _offdiag(cpl, q):
-    acc = None
-    for off, c in cpl.items():
-        term = c * _roll(q, *off)
-        acc = term if acc is None else acc + term
-    return acc
+def _plan(kind: StencilKind, kp: int, updown: str, fuse_residual: bool,
+          nx: int | None = None):
+    """Sweep pass plan: [(phase_lo, phase_hi, H, Tx, fuse)] or None.
+
+    The 27-point sweep's 8 colors need halo 16; when that does not fit the
+    VMEM budget (large ny*nz), the sweep splits into two 4-color passes at
+    halo 8 (the second carries the fused residual)."""
+    nph = 2 if kind == StencilKind.seven_pt else 8
+
+    def clamp(tx, H):
+        if nx is not None and tx > 0:
+            tx = min(tx, -(-nx // H) * H)
+        return tx
+
+    H1 = _halo_for(kind)
+    tx = clamp(_tile_x(kind, kp, H1), H1)
+    if tx >= H1:
+        return [(0, nph, H1, tx, fuse_residual)]
+    if kind == StencilKind.seven_pt:
+        return None
+    tx = clamp(_tile_x(kind, kp, 8), 8)
+    if tx < 8:
+        return None
+    return [(0, 4, 8, tx, False), (4, 8, 8, tx, fuse_residual)]
 
 
-def _sweep_kernel(
-    orig_ref, so_hbm, b_hbm, q_hbm, out_hbm, res_hbm,
-    qs, sos, bs, sems,
-    *, updown, Tx, Ty, nx, ny, nz, fuse_residual,
-):
-    Rx = Tx + 2 * _HX
-    Ry = Ty + 2 * _HY
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    x0 = jnp.maximum(0, jnp.minimum(i * Tx - _HX, nx - Rx))
-    y0 = jnp.maximum(0, jnp.minimum(j * Ty - _HY, ny - Ry))
-    y0 = pl.multiple_of((y0 // 8) * 8, 8)
-
-    cps = [
-        pltpu.make_async_copy(
-            q_hbm.at[pl.ds(x0, Rx), pl.ds(y0, Ry)], qs, sems.at[0]
-        ),
-        pltpu.make_async_copy(
-            so_hbm.at[:, pl.ds(x0, Rx), pl.ds(y0, Ry)], sos, sems.at[1]
-        ),
-        pltpu.make_async_copy(
-            b_hbm.at[pl.ds(x0, Rx), pl.ds(y0, Ry)], bs, sems.at[2]
-        ),
-    ]
-    for cp in cps:
-        cp.start()
-    for cp in cps:
-        cp.wait()
-
-    # global anchoring: orig_ref is the global index of local (0, 0, 0)
-    # (nonzero only under shard_map; cf. the reference's iGs/jGs/kGs)
-    gx = (orig_ref[0] + x0
-          + jax.lax.broadcasted_iota(jnp.int32, (Rx, Ry, nz), 0))
-    gy = (orig_ref[1] + y0
-          + jax.lax.broadcasted_iota(jnp.int32, (Rx, Ry, nz), 1))
-    gz = orig_ref[2] + jax.lax.broadcasted_iota(jnp.int32, (Rx, Ry, nz), 2)
-    par = (gx + gy + gz) % 2
-
-    diag = sos[Dir3.P]
-    cpl = _couplings7(sos)
-    b = bs[:]
-    rec = 1.0 / diag
-    q = qs[:]
-    order = (0, 1) if updown == "up" else (1, 0)
-    for color in order:
-        upd = (b + _offdiag(cpl, q)) * rec
-        q = jnp.where(par == color, upd, q)
-
-    qs[:] = q
-    ox = jnp.maximum(0, jnp.minimum(i * Tx, nx - Tx))
-    oy = jnp.maximum(0, jnp.minimum(j * Ty, ny - Ty))
-    oy = pl.multiple_of((oy // 8) * 8, 8)
-    lx = ox - x0
-    ly = pl.multiple_of(((oy - y0) // 8) * 8, 8)
-    out = pltpu.make_async_copy(
-        qs.at[pl.ds(lx, Tx), pl.ds(ly, Ty)],
-        out_hbm.at[pl.ds(ox, Tx), pl.ds(oy, Ty)],
-        sems.at[0],
-    )
-    out.start()
-    out.wait()
-
-    if fuse_residual:
-        res = b + _offdiag(cpl, q) - diag * q
-        bs[:] = res
-        rout = pltpu.make_async_copy(
-            bs.at[pl.ds(lx, Tx), pl.ds(ly, Ty)],
-            res_hbm.at[pl.ds(ox, Tx), pl.ds(oy, Ty)],
-            sems.at[1],
-        )
-        rout.start()
-        rout.wait()
+def _dims(shape):
+    nx, ny, nz = shape
+    k = ny * nz
+    kp = -(-k // 128) * 128
+    return k, kp
 
 
 def supported(shape, dtype, kind) -> bool:
-    if kind != StencilKind.seven_pt:
+    if kind not in (StencilKind.seven_pt, StencilKind.twenty_seven_pt):
         return False
     if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
         return False
-    nx, ny, nz = shape
-    if nz % 128 or ny % 8:
+    nx = shape[0]
+    _, kp = _dims(shape)
+    plan = _plan(kind, kp, "down", False, nx)
+    if plan is not None and nx >= 2 * plan[0][2]:
+        return True
+    # rows too wide for the pipelined kernel (e.g. 256^3): the 2D-tiled
+    # fallback covers the 7-point case (27-pt at such widths runs XLA)
+    if kind != StencilKind.seven_pt:
         return False
-    tx, ty = _tiles_for(nx, ny, nz)
-    return tx >= 8 and ty >= 8
+    from cedar_tpu.ops import pallas3_tiled
+
+    return pallas3_tiled.supported(shape, dtype, kind)
 
 
-@functools.partial(jax.jit, static_argnames=("updown", "fuse_residual"))
-def point_relax(so, q, b, rec, updown, fuse_residual=False, origin=None):
-    """One full red-black 7-pt sweep in a single HBM pass (non-periodic).
+def _roll(a, dr, dl):
+    out = a
+    if dr:
+        out = pltpu.roll(out, (-dr) % out.shape[0], 0)
+    if dl:
+        out = pltpu.roll(out, (-dl) % out.shape[1], 1)
+    return out
 
-    Reference semantics: BMG3_SymStd_relax_GS.f90 7-point branch
-    (:144-183); drop-in for cedar_tpu.ops.relax3.point_relax on supported
-    shapes."""
+
+def _shift_zero(a, sr, sl):
+    """out[r, l] = a[r + sr, l + sl] with zero fill (sr, sl >= 0)."""
+    out = a
+    if sr:
+        z = jnp.zeros((sr,) + a.shape[1:], a.dtype)
+        out = jnp.concatenate([out[sr:], z], axis=0)
+    if sl:
+        z = jnp.zeros(out.shape[:1] + (sl,), a.dtype)
+        out = jnp.concatenate([out[:, sl:], z], axis=1)
+    return out
+
+
+def _phase_mask(kind, updown, ph, x1, y1, z1):
+    """Mask for phase ``ph`` of the reference sweep order
+    (relax3.color_masks semantics), built lazily from the parity
+    bit-planes (a precomputed mask list keeps 8 window-sized values live
+    at once and blows VMEM)."""
+    if kind == StencilKind.seven_pt:
+        order = (0, 1) if updown == "up" else (1, 0)
+        return ((x1 + y1 + z1) % 2) == order[ph]
+    pts_order = list(range(1, 9) if updown == "up" else range(8, 0, -1))
+    pts = pts_order[ph]
+    cz = (pts - 1) % 2
+    cw = ((pts - 1) // 2) % 2
+    cv = ((pts - 1) // 4) % 2
+    return (x1 == cz) & (y1 == cw) & (z1 == cv)
+
+
+def _sweep_kernel(
+    orig_ref, so_m, so_t, so_b, b_m, b_t, b_b, q_m, q_t, q_b,
+    out_m, res_m,
+    *, kind, updown, Tx, H, nx, nz, kp, lo, hi, fuse_residual,
+):
+    R = Tx + 2 * H
+    i = pl.program_id(0)
+
+    so = jnp.concatenate([so_t[...], so_m[...], so_b[...]], axis=1)
+    b = jnp.concatenate([b_t[...], b_m[...], b_b[...]], axis=0)
+    q = jnp.concatenate([q_t[...], q_m[...], q_b[...]], axis=0)
+
+    row0 = i * Tx - H
+    iota_r = jax.lax.broadcasted_iota(jnp.int32, (R, kp), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (R, kp), 1)
+    j = lane // nz
+    x1 = (orig_ref[0] + row0 + iota_r) % 2
+    y1 = (orig_ref[1] + j) % 2
+    z1 = (orig_ref[2] + lane - j * nz) % 2
+    himask = (row0 + iota_r) < (nx - 1)
+
+    table = _couple_table(kind, nz)
+    zero = jnp.zeros((), so.dtype)
+
+    def coupling(off):
+        plane, sx, sln = table[off]
+        p = so[plane]
+        if sx or sln:
+            p = _shift_zero(p, sx, sln)
+        if off[0] > 0:
+            p = jnp.where(himask, p, zero)
+        return p
+
+    def offdiag(q):
+        acc = None
+        for off in table:
+            term = coupling(off) * _roll(q, *off)
+            acc = term if acc is None else acc + term
+        return acc
+
+    diag = so[Dir3.P]
+    rec = 1.0 / diag
+    for ph in range(lo, hi):
+        mask = _phase_mask(kind, updown, ph, x1, y1, z1)
+        upd = (b + offdiag(q)) * rec
+        q = jnp.where(mask, upd, q)
+
+    out_m[...] = q[H : H + Tx]
+    if fuse_residual:
+        res = b + offdiag(q) - diag * q
+        res_m[...] = res[H : H + Tx]
+
+
+def point_relax(so, q, b, rec, updown, fuse_residual=False, origin=None,
+                kind=StencilKind.seven_pt):
+    """One full multicolor 3D sweep in one (or two) HBM passes.
+
+    Reference semantics: BMG3_SymStd_relax_GS.f90 (7-pt red-black :144-183,
+    27-pt 8-color :85-143); drop-in for cedar_tpu.ops.relax3.point_relax on
+    supported shapes (non-periodic).  The flattened-lane pad region is
+    inert by construction (zero couplings, unit diagonal)."""
     del rec
     if origin is None:
         origin = jnp.zeros((3,), jnp.int32)
     nx, ny, nz = q.shape
-    Tx, Ty = _tiles_for(nx, ny, nz)
-    Rx = Tx + 2 * _HX
-    Ry = Ty + 2 * _HY
+    k, kp = _dims(q.shape)
+    ndir = so.shape[0]
+    plan = _plan(kind, kp, updown, fuse_residual, nx)
+    if plan is None or nx < 2 * plan[0][2]:
+        if kind != StencilKind.seven_pt:
+            raise ValueError(
+                "no feasible pallas plan for this 27-pt shape "
+                "(callers must gate on supported())"
+            )
+        from cedar_tpu.ops import pallas3_tiled
+
+        return pallas3_tiled.point_relax(
+            so, q, b, None, updown, fuse_residual, origin
+        )
+    Tx = plan[0][3]
+    nxp = -(-nx // Tx) * Tx
+
+    soF = so.reshape(ndir, nx, k)
+    qF = q.reshape(nx, k)
+    bF = b.reshape(nx, k)
+    if (nxp, kp) != (nx, k):
+        pw = ((0, nxp - nx), (0, kp - k))
+        soF = jnp.pad(soF, ((0, 0),) + pw)
+        soF = soF.at[Dir3.P, nx:, :].set(1.0)
+        soF = soF.at[Dir3.P, :, k:].set(1.0)
+        qF = jnp.pad(qF, pw)
+        bF = jnp.pad(bF, pw)
+
+    res = None
+    for lo, hi, H, tx, fuse in plan:
+        out = _point_relax_call(soF, qF, bF, kind, updown, nz, lo, hi, H,
+                                tx, fuse, origin)
+        if fuse:
+            qF, res = out
+        else:
+            qF = out
+    if fuse_residual:
+        return (qF[:nx, :k].reshape(nx, ny, nz),
+                res[:nx, :k].reshape(nx, ny, nz))
+    return qF[:nx, :k].reshape(nx, ny, nz)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "updown", "nz", "lo", "hi", "H", "Tx",
+                     "fuse_residual"),
+)
+def _point_relax_call(so, q, b, kind, updown, nz, lo, hi, H, Tx,
+                      fuse_residual=False, origin=None):
+    nxp, kp = q.shape
+    ndir = so.shape[0]
+    assert nxp % Tx == 0 and kp % 128 == 0
     dtype = q.dtype
+    if origin is None:
+        origin = jnp.zeros((3,), jnp.int32)
 
     kernel = functools.partial(
         _sweep_kernel,
-        updown=updown,
-        Tx=Tx,
-        Ty=Ty,
-        nx=nx,
-        ny=ny,
-        nz=nz,
-        fuse_residual=fuse_residual,
+        kind=kind, updown=updown, Tx=Tx, H=H,
+        nx=nxp, nz=nz, kp=kp, lo=lo, hi=hi, fuse_residual=fuse_residual,
     )
     out_shapes = [
-        jax.ShapeDtypeStruct((nx, ny, nz), dtype),
+        jax.ShapeDtypeStruct((nxp, kp), dtype),
         jax.ShapeDtypeStruct(
-            (nx, ny, nz) if fuse_residual else (8, 8, 128), dtype
+            (nxp, kp) if fuse_residual else (8, 128), dtype
         ),
     ]
-    anyspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    tb = Tx // H
+    nb = nxp // H - 1  # highest valid H-row block index
+
+    def mid2(i):
+        return (i, 0)
+
+    def top2(i):
+        return (jnp.maximum(i * tb - 1, 0), 0)
+
+    def bot2(i):
+        return (jnp.minimum((i + 1) * tb, nb), 0)
+
+    def mid3(i):
+        return (0, i, 0)
+
+    def top3(i):
+        return (0, jnp.maximum(i * tb - 1, 0), 0)
+
+    def bot3(i):
+        return (0, jnp.minimum((i + 1) * tb, nb), 0)
+
     q_out, res = pl.pallas_call(
         kernel,
-        grid=(pl.cdiv(nx, Tx), pl.cdiv(ny, Ty)),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [anyspec] * 3,
-        out_specs=[anyspec, anyspec],
-        out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((Rx, Ry, nz), dtype),
-            pltpu.VMEM((4, Rx, Ry, nz), dtype),
-            pltpu.VMEM((Rx, Ry, nz), dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+        grid=(nxp // Tx,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((ndir, Tx, kp), mid3),
+            pl.BlockSpec((ndir, H, kp), top3),
+            pl.BlockSpec((ndir, H, kp), bot3),
+            pl.BlockSpec((Tx, kp), mid2),
+            pl.BlockSpec((H, kp), top2),
+            pl.BlockSpec((H, kp), bot2),
+            pl.BlockSpec((Tx, kp), mid2),
+            pl.BlockSpec((H, kp), top2),
+            pl.BlockSpec((H, kp), bot2),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        out_specs=[
+            pl.BlockSpec((Tx, kp), mid2),
+            pl.BlockSpec((Tx, kp), mid2) if fuse_residual
+            else pl.BlockSpec((8, 128), lambda i: (0, 0)),
+        ],
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=max(
+                _VMEM_BUDGET
+                - _stream_bytes(kind, kp, H, Tx, fuse_residual),
+                32 * 1024 * 1024,
+            ),
+        ),
         interpret=INTERPRET,
-    )(origin, so, b, q)
+    )(origin, so, so, so, b, b, b, q, q, q)
     if fuse_residual:
         return q_out, res
     return q_out

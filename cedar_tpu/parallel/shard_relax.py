@@ -149,8 +149,9 @@ def point_relax2(sharding, so, q, b, kind, updown, fuse_residual=False):
     )(so, q, b)
 
 
-def point_relax3(sharding, so, q, b, updown, fuse_residual=False):
-    """Sharded fused 3D red-black 7-pt sweep (reference: MPI BMG3 relax)."""
+def point_relax3(sharding, so, q, b, updown, fuse_residual=False,
+                 kind=StencilKind.seven_pt):
+    """Sharded fused 3D multicolor sweep (reference: MPI BMG3 relax)."""
     from cedar_tpu.ops import pallas3
 
     mesh = sharding.mesh
@@ -166,7 +167,8 @@ def point_relax3(sharding, so, q, b, updown, fuse_residual=False):
         diag = so_e[Dir3.P]
         so_e = so_e.at[Dir3.P].set(jnp.where(diag == 0, 1.0, diag))
         out = pallas3.point_relax(
-            so_e, q_e, b_e, None, updown, fuse_residual, origin=origin
+            so_e, q_e, b_e, None, updown, fuse_residual, origin=origin,
+            kind=kind,
         )
         if fuse_residual:
             return (_center(out[0], names, mesh),

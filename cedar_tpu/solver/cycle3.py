@@ -33,18 +33,18 @@ def _use_pallas(settings, kind, shape, dtype, periodic, shard=None):
     return pallas3.supported(shape, dtype, kind)
 
 
-def _pallas_relax(lev, x, b, updown, shard, fuse_residual=False):
+def _pallas_relax(lev, kind, x, b, updown, shard, fuse_residual=False):
     """Fused Pallas sweep — per-shard under shard_map when sharded."""
     if shard is not None:
         from cedar_tpu.parallel import shard_relax
 
         return shard_relax.point_relax3(
-            shard, lev.so, x, b, updown, fuse_residual
+            shard, lev.so, x, b, updown, fuse_residual, kind=kind
         )
     from cedar_tpu.ops import pallas3
 
     return pallas3.point_relax(lev.so, x, b, lev.recip, updown,
-                               fuse_residual)
+                               fuse_residual, kind=kind)
 
 
 def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic,
@@ -58,7 +58,7 @@ def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic,
     rt = settings.relaxation
     if rt == RelaxType.point:
         if _use_pallas(settings, kind, x.shape, x.dtype, periodic, shard):
-            return _pallas_relax(lev, x, b, updown, shard)
+            return _pallas_relax(lev, kind, x, b, updown, shard)
         return point_relax(lev.so, x, b, lev.recip, kind, updown, periodic)
     if rt in (RelaxType.plane_xy, RelaxType.plane_xz, RelaxType.plane_yz,
               RelaxType.plane_xyz):
@@ -147,7 +147,7 @@ def ncycle(
             x = _nsmooth(lev, kind, x, b, settings, "down", periodic,
                          settings.nrelax_pre - 1, shard)
         with scope("relaxation-residual-fused"):
-            x, res = _pallas_relax(lev, x, b, "down", shard,
+            x, res = _pallas_relax(lev, kind, x, b, "down", shard,
                                    fuse_residual=True)
     else:
         with scope("relaxation"):

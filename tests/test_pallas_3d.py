@@ -1,4 +1,9 @@
-"""3D Pallas sweep kernel vs the XLA reference path (TPU or interpreter)."""
+"""3D Pallas sweep kernels vs the XLA reference path (TPU or interpreter).
+
+Covers the flattened-lane formulation (y/z shifts as lane rolls whose wrap
+terms are annihilated by the stored-zero couplings), both stencils, the
+27-point two-pass color split, and padded odd shapes.
+"""
 
 import numpy as np
 import jax
@@ -22,30 +27,87 @@ ON_TPU = _on_tpu()
 
 
 @pytest.mark.parametrize("updown", ["down", "up"])
-def test_pallas3_sweep_matches_xla(updown, monkeypatch):
+@pytest.mark.parametrize("tsp", [False, True])
+def test_pallas3_sweep_matches_xla(updown, tsp, monkeypatch):
     if not ON_TPU:
         monkeypatch.setattr(pallas3, "INTERPRET", True)
-    n = (64, 64, 128) if ON_TPU else (24, 32, 128)
+    if ON_TPU:
+        n = (64, 64, 128)
+    else:
+        n = (32, 16, 40) if tsp else (24, 16, 40)
     rng = np.random.default_rng(7)
+    from test_kernels_3d import random_so
+
+    so = jnp.asarray(random_so(rng, *n, tsp), jnp.float32)
+    q = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    kind = (StencilKind.twenty_seven_pt if tsp else StencilKind.seven_pt)
+    assert pallas3.supported(q.shape, q.dtype, kind)
+    rec = setup_recip(so)
+
+    ref = relax_xla(so, q, b, rec, kind, updown)
+    got = pallas3.point_relax(so, q, b, rec, updown, kind=kind)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+
+    got2, res2 = pallas3.point_relax(so, q, b, rec, updown,
+                                     fuse_residual=True, kind=kind)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got2), atol=1e-5)
+    ref_res = residual(so, ref, b, kind)
+    np.testing.assert_allclose(
+        np.asarray(ref_res), np.asarray(res2), atol=1e-4)
+
+
+def test_pallas3_two_pass_split(monkeypatch):
+    """Force the two-pass 27-pt plan and check it matches the XLA sweep."""
+    if not ON_TPU:
+        monkeypatch.setattr(pallas3, "INTERPRET", True)
+    n = (32, 16, 40)
+    _, kp = pallas3._dims(n)
+    # shrink the budget until the single-pass H=16 plan is infeasible
+    # (local variable only; monkeypatch handles restore)
+    budget = pallas3._VMEM_BUDGET
+    kind = StencilKind.twenty_seven_pt
+    while True:
+        monkeypatch.setattr(pallas3, "_VMEM_BUDGET", budget)
+        plan = pallas3._plan(kind, kp, "down", True, n[0])
+        if plan is None or len(plan) == 2:
+            break
+        budget //= 2
+    if plan is None:
+        pytest.skip("no feasible two-pass plan at this size")
+    rng = np.random.default_rng(11)
+    from test_kernels_3d import random_so
+
+    so = jnp.asarray(random_so(rng, *n, True), jnp.float32)
+    q = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    rec = setup_recip(so)
+    ref = relax_xla(so, q, b, rec, kind, "down")
+    got, res = pallas3.point_relax(so, q, b, rec, "down",
+                                   fuse_residual=True, kind=kind)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               atol=1e-5)
+    ref_res = residual(so, ref, b, kind)
+    np.testing.assert_allclose(np.asarray(ref_res), np.asarray(res),
+                               atol=1e-4)
+
+
+def test_pallas3_padded_odd_shape(monkeypatch):
+    if not ON_TPU:
+        monkeypatch.setattr(pallas3, "INTERPRET", True)
+    n = (27, 18, 35)
+    rng = np.random.default_rng(13)
     from test_kernels_3d import random_so
 
     so = jnp.asarray(random_so(rng, *n, False), jnp.float32)
     q = jnp.asarray(rng.standard_normal(n), jnp.float32)
     b = jnp.asarray(rng.standard_normal(n), jnp.float32)
     kind = StencilKind.seven_pt
-    assert pallas3.supported(q.shape, q.dtype, kind)
+    assert pallas3.supported(n, jnp.float32, kind)
     rec = setup_recip(so)
-
-    ref = relax_xla(so, q, b, rec, kind, updown)
-    got = pallas3.point_relax(so, q, b, rec, updown)
+    ref = relax_xla(so, q, b, rec, kind, "down")
+    got = pallas3.point_relax(so, q, b, rec, "down", kind=kind)
     np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
-
-    got2, res2 = pallas3.point_relax(so, q, b, rec, updown,
-                                     fuse_residual=True)
-    np.testing.assert_allclose(np.asarray(ref), np.asarray(got2), atol=1e-5)
-    ref_res = residual(so, ref, b, kind)
-    np.testing.assert_allclose(
-        np.asarray(ref_res), np.asarray(res2), atol=1e-4)
 
 
 def test_supported_gates():
@@ -53,7 +115,8 @@ def test_supported_gates():
     seven = StencilKind.seven_pt
     tsp = StencilKind.twenty_seven_pt
     assert pallas3.supported((256, 256, 256), f32, seven)
-    assert not pallas3.supported((256, 256, 256), f32, tsp)
-    assert not pallas3.supported((256, 256, 255), f32, seven)  # lanes
-    assert not pallas3.supported((256, 255, 256), f32, seven)  # sublanes
+    assert pallas3.supported((64, 64, 128), f32, tsp)
+    assert not pallas3.supported((129, 129, 129), f32, tsp)  # row too wide
+    assert not pallas3.supported((256, 256, 256), f32, tsp)  # row too wide
+    assert not pallas3.supported((8, 64, 128), f32, seven)   # too few rows
     assert not pallas3.supported((256, 256, 256), jnp.float64, seven)

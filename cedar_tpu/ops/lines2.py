@@ -147,6 +147,47 @@ def _cyclic_solve(lo_full: jnp.ndarray, dg: jnp.ndarray, up_full: jnp.ndarray,
 _PCR_MIN_LEN = 64
 
 
+def _local_solve(solve, nargs, shard):
+    """Wrap a batched tridiagonal solve so the LINE axis is solved locally.
+
+    Under auto-SPMD with the line axis sharded, the partitioner inserts a
+    collective on every PCR reduction step (measured: 2,348 collectives
+    for one zebra sweep at 512² sharded 4-way — tools/analyze_lines.py).
+    The reference instead gathers once per color via its interface
+    reduction (src/2d/ftn/mpi/BMG2_SymStd_relax_lines_x.f90:156-277).
+    Equivalent here: shard_map with the line axis replicated — shard_map's
+    input reshard is the ONE all-gather, the solve is local, and the
+    output reshard restores the level's sharding."""
+    if shard is None:
+        return solve
+    spec = list(shard.spec) + [None]
+    line_ax, batch_ax = spec[0], spec[1]
+    if line_ax is None or shard.mesh.shape[line_ax] <= 1:
+        return solve
+    del nargs
+
+    def wrapped(*args):
+        n_batch = args[-1].shape[-1]
+        if (batch_ax is not None
+                and n_batch % shard.mesh.shape[batch_ax] != 0):
+            return solve(*args)
+
+        def spec_of(a):
+            # trailing (line, batch) dims; leading dims replicated
+            return jax.sharding.PartitionSpec(
+                *([None] * (a.ndim - 1)), batch_ax
+            )
+
+        return jax.shard_map(
+            solve, mesh=shard.mesh,
+            in_specs=tuple(spec_of(a) for a in args),
+            out_specs=jax.sharding.PartitionSpec(None, batch_ax),
+            check_vma=False,
+        )(*args)
+
+    return wrapped
+
+
 def _tridiag_solve(sor: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     """Solve LDLᵀ x = rhs along axis 0, batched over axis 1."""
     dinv, l = sor[0], sor[1]
@@ -226,8 +267,14 @@ def line_relax_x(
     kind: StencilKind,
     updown: str,
     periodic=(False, False),
+    shard=None,
 ) -> jnp.ndarray:
-    """One zebra x-line sweep (both colors)."""
+    """One zebra x-line sweep (both colors).
+
+    ``shard``: the operand's NamedSharding when running distributed; the
+    tridiagonal solves then run line-axis-local via :func:`_local_solve`
+    (one gather per color, the analogue of the reference's interface
+    reduction)."""
     if periodic[1] and q.shape[1] % 2:
         raise ValueError(
             "zebra x-line relaxation needs an even number of lines when the "
@@ -243,20 +290,23 @@ def line_relax_x(
             up = jnp.roll(lo, -1, axis=0)   # up[n-1] = wrap coupling lo[0]
         else:
             up = _shift0(lo, 1, 0.0)
+    csolve = _local_solve(_cyclic_solve, 4, shard)
+    psolve = _local_solve(_pcr_solve, 4, shard)
+    tsolve = _local_solve(_tridiag_solve, 2, shard)
     for parity in order:
         rhs = _cols(_line_rhs_x(so, q, b, kind, periodic), parity)
         if cyclic:
-            sol = _cyclic_solve(
+            sol = csolve(
                 _cols(lo, parity), _cols(diag, parity), _cols(up, parity),
                 rhs,
             )
         elif use_pcr:
-            sol = _pcr_solve(
+            sol = psolve(
                 _cols(lo, parity), _cols(diag, parity), _cols(up, parity),
                 rhs,
             )
         else:
-            sol = _tridiag_solve(_cols(sor, parity), rhs)
+            sol = tsolve(_cols(sor, parity), rhs)
         q = _set_rows(q, sol, parity)
     return q
 
@@ -269,11 +319,19 @@ def line_relax_y(
     kind: StencilKind,
     updown: str,
     periodic=(False, False),
+    shard=None,
 ) -> jnp.ndarray:
     """One zebra y-line sweep: x-line relaxation of the transposed system."""
     so_t = _transpose_so(so, kind)
     per_t = (periodic[1], periodic[0])
+    shard_t = None
+    if shard is not None:
+        spec = list(shard.spec) + [None, None]
+        shard_t = jax.sharding.NamedSharding(
+            shard.mesh, jax.sharding.PartitionSpec(spec[1], spec[0])
+        )
     qt = line_relax_x(
-        so_t, q.T, b.T, sor.transpose(0, 2, 1), kind, updown, per_t
+        so_t, q.T, b.T, sor.transpose(0, 2, 1), kind, updown, per_t,
+        shard_t,
     )
     return qt.T

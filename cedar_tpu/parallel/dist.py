@@ -65,8 +65,12 @@ def _place_level(lev, mesh, spec):
             a, batched_sharding(mesh, P(*names), nlead)
         )
 
+    # `planes` (batched 2D hierarchies) and `inner` (nested coarse-solver
+    # hierarchy, cg-solver "cedar"/"redist") are pytrees of their own and
+    # live replicated on the agglomerated coarse level
+    skip = ("planes", "inner")
     return type(lev)(**{
-        name: (put(name, val) if name != "planes" else val)
+        name: (put(name, val) if name not in skip else val)
         for name, val in lev._asdict().items()
     })
 

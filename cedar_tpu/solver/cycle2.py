@@ -56,22 +56,32 @@ def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic,
 
     Pre-smoothing (DOWN) applies line-x then line-y for "line-xy";
     post-smoothing (UP) reverses to line-y then line-x (symmetric cycle).
+    Under sharding, the line solves run line-axis-local via shard_map
+    (one gather per color — the analogue of the reference's interface
+    reduction; see ops.lines2._local_solve).
     """
     rt = settings.relaxation
     if rt == RelaxType.point:
         if _use_pallas(settings, kind, x.shape, x.dtype, periodic, shard):
             return _pallas_relax(lev, kind, x, b, updown, shard)
         return point_relax(lev.so, x, b, lev.recip, kind, updown, periodic)
+
+    def lx(x):
+        return line_relax_x(lev.so, x, b, lev.sor_x, kind, updown,
+                            periodic, shard)
+
+    def ly(x):
+        return line_relax_y(lev.so, x, b, lev.sor_y, kind, updown,
+                            periodic, shard)
+
     if rt == RelaxType.line_x:
-        return line_relax_x(lev.so, x, b, lev.sor_x, kind, updown, periodic)
+        return lx(x)
     if rt == RelaxType.line_y:
-        return line_relax_y(lev.so, x, b, lev.sor_y, kind, updown, periodic)
+        return ly(x)
     if rt == RelaxType.line_xy:
         if updown == "down":
-            x = line_relax_x(lev.so, x, b, lev.sor_x, kind, updown, periodic)
-            return line_relax_y(lev.so, x, b, lev.sor_y, kind, updown, periodic)
-        x = line_relax_y(lev.so, x, b, lev.sor_y, kind, updown, periodic)
-        return line_relax_x(lev.so, x, b, lev.sor_x, kind, updown, periodic)
+            return ly(lx(x))
+        return lx(ly(x))
     raise ValueError(f"invalid 2D relaxation: {rt}")
 
 

@@ -159,3 +159,20 @@ def test_dist3_plane_relax_matches_serial(mesh3):
     s_dist = DistSolver3(so, SevenPt, Config(dict(conf)), mesh3)
     x_dist = s_dist.solve(b)
     assert float(jnp.max(jnp.abs(x_ser - jax.device_get(x_dist)))) < 1e-12
+
+
+def test_line_relax_sharded_along_line_axis(mesh2):
+    """Zebra line relaxation with the grid sharded ALONG the line axis:
+    the PCR tridiagonal solves span shards (XLA inserts a collective per
+    reduction step — see docs in NOTES.md §distributed-lines), and must
+    agree with the serial solver.  Analogue of the reference's distributed
+    line-relax tests at np ∈ {1,7,16} (test/2d/mpi/test_lines.cc)."""
+    n = 64
+    so = gallery.fe(n, n)
+    b = gallery.poisson_rhs(n, n)
+    conf = {"log": [], "solver": {"relaxation": "line-x", "tol": 1e-8,
+                                  "max-iter": 20}}
+    xs = Solver2(so, StencilKind.nine_pt, Config(dict(conf))).solve(b)
+    xd = DistSolver2(so, StencilKind.nine_pt, Config(dict(conf)),
+                     mesh2).solve(b)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xd), atol=1e-10)

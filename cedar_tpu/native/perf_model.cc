@@ -32,10 +32,11 @@
 namespace {
 
 struct Machine {
-  double hbm_bw;     // bytes/s per chip
-  double ici_bw;     // bytes/s per link
-  double ici_lat;    // seconds per hop
-  double flop_rate;  // flops/s per chip
+  double hbm_bw;       // bytes/s per chip
+  double ici_bw;       // bytes/s per link
+  double ici_lat;      // seconds per hop
+  double flop_rate;    // flops/s per chip
+  double op_overhead;  // fixed seconds per launched device op
 };
 
 struct Level {
@@ -92,7 +93,22 @@ double level_time(const Level& lv, const int* mesh, unsigned mask,
   int64_t hb = halo_bytes(lv, mesh, mask, dtype_bytes);
   if (hb > 0) comm_t = exchanges * (hb / m.ici_bw + m.ici_lat);
   double local = hbm_t > comp_t ? hbm_t : comp_t;
-  return local + comm_t;
+  return local + comm_t + passes * m.op_overhead;
+}
+
+// Direct coarse solve: dense inverse applied by matmul on the REPLICATED
+// coarse system (the implementation always replicates the coarsest level
+// — "redundant" mode); the TPU analogue of the reference's DPBTRS term
+// (vcycle_model.cc:162 tcgsolve).  Mask-independent by construction.
+double cg_solve_time(const Level& lv, const int* mesh, unsigned mask,
+                     const Machine& m, int dtype_bytes) {
+  (void)mesh; (void)mask;
+  int64_t pts = shard_points(lv, mesh, 0);
+  double flops = 2.0 * double(pts) * double(pts);
+  double bytes = double(pts) * double(pts) * dtype_bytes;  // read A^-1
+  double comp_t = flops / m.flop_rate;
+  double hbm_t = bytes / m.hbm_bw;
+  return (hbm_t > comp_t ? hbm_t : comp_t) + m.op_overhead;
 }
 
 // All-gather cost of agglomerating a level from mask `from` to `to`.
@@ -129,8 +145,8 @@ double cedar_perf_cycle_time(
     int nlevels, int ndim, int stencil_fine, int stencil_coarse,
     int nsweeps, const int* mesh_dims, const unsigned* masks,
     double hbm_bw, double ici_bw, double ici_lat, double flop_rate,
-    int dtype_bytes) {
-  Machine m{hbm_bw, ici_bw, ici_lat, flop_rate};
+    int dtype_bytes, double op_overhead) {
+  Machine m{hbm_bw, ici_bw, ici_lat, flop_rate, op_overhead};
   double total = 0.0;
   for (int l = 0; l < nlevels; ++l) {
     Level lv;
@@ -138,7 +154,10 @@ double cedar_perf_cycle_time(
     for (int d = 0; d < 3; ++d) lv.shape[d] = shapes[l * 3 + d];
     lv.stencil_size = l == 0 ? stencil_fine : stencil_coarse;
     lv.nsweeps = nsweeps;
-    total += level_time(lv, mesh_dims, masks[l], m, dtype_bytes);
+    if (l == nlevels - 1)
+      total += cg_solve_time(lv, mesh_dims, masks[l], m, dtype_bytes);
+    else
+      total += level_time(lv, mesh_dims, masks[l], m, dtype_bytes);
     if (l + 1 < nlevels) {
       // agglomeration gathers the COARSE level's data (matches the
       // search's step cost)
@@ -147,8 +166,9 @@ double cedar_perf_cycle_time(
       for (int d = 0; d < 3; ++d) lc.shape[d] = shapes[(l + 1) * 3 + d];
       lc.stencil_size = stencil_coarse;
       lc.nsweeps = nsweeps;
-      total += agglom_time(lc, mesh_dims, masks[l], masks[l + 1], m,
-                           dtype_bytes);
+      // the coarsest level is always replicated (redundant coarse solve)
+      unsigned to = l + 1 == nlevels - 1 ? 0u : masks[l + 1];
+      total += agglom_time(lc, mesh_dims, masks[l], to, m, dtype_bytes);
     }
   }
   return total;
@@ -162,8 +182,9 @@ double cedar_perf_search(
     const int64_t* shapes, int nlevels, int ndim, int stencil_fine,
     int stencil_coarse, int nsweeps, const int* mesh_dims,
     const unsigned* allowed, double hbm_bw, double ici_bw, double ici_lat,
-    double flop_rate, int dtype_bytes, unsigned* out_masks) {
-  Machine m{hbm_bw, ici_bw, ici_lat, flop_rate};
+    double flop_rate, int dtype_bytes, double op_overhead,
+    unsigned* out_masks) {
+  Machine m{hbm_bw, ici_bw, ici_lat, flop_rate, op_overhead};
   const unsigned nmasks = 1u << ndim;
 
   auto lvl = [&](int l) {
@@ -184,6 +205,7 @@ double cedar_perf_search(
     int planes = (lv.stencil_size + 1) / 2 + 1;
     double best = double(pts) * dtype_bytes * (planes + 3) *
                   (lv.nsweeps + 3) / m.hbm_bw;
+    if (l == nlevels - 1) best = 0.0;  // coarse solve may be cheaper
     h[l] = h[l + 1] + best;
   }
 
@@ -192,10 +214,13 @@ double cedar_perf_search(
   std::vector<int> parent(size_t(nlevels + 1) * nmasks, -1);
   std::priority_queue<Node> open;
 
+  unsigned allow0 = nlevels == 1 ? 0u : allowed[0];
   for (unsigned mk = 0; mk < nmasks; ++mk) {
-    if ((mk & ~allowed[0]) != 0) continue;
+    if ((mk & ~allow0) != 0) continue;
     Level lv = lvl(0);
-    double c = level_time(lv, mesh_dims, mk, m, dtype_bytes);
+    double c = nlevels == 1
+                   ? cg_solve_time(lv, mesh_dims, mk, m, dtype_bytes)
+                   : level_time(lv, mesh_dims, mk, m, dtype_bytes);
     size_t idx = 1 * nmasks + mk;  // state: about to place level 1
     if (c < dist[idx]) {
       dist[idx] = c;
@@ -218,11 +243,16 @@ double cedar_perf_search(
     }
     Level lv = lvl(nd.level);
     Level prev = lvl(nd.level - 1);
+    // the coarsest level is always replicated (redundant coarse solve)
+    unsigned allow_l = nd.level == nlevels - 1 ? 0u : allowed[nd.level];
     for (unsigned mk = 0; mk < nmasks; ++mk) {
-      if ((mk & ~allowed[nd.level]) != 0) continue;
+      if ((mk & ~allow_l) != 0) continue;
       if ((mk & ~nd.mask) != 0) continue;  // monotone: only drop axes
+      double lvl_t = nd.level == nlevels - 1
+                         ? cg_solve_time(lv, mesh_dims, mk, m, dtype_bytes)
+                         : level_time(lv, mesh_dims, mk, m, dtype_bytes);
       double step = agglom_time(lv, mesh_dims, nd.mask, mk, m, dtype_bytes)
-                    + level_time(lv, mesh_dims, mk, m, dtype_bytes);
+                    + lvl_t;
       (void)prev;
       size_t nidx = size_t(nd.level + 1) * nmasks + mk;
       double c = dist[idx] + step;

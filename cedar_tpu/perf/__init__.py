@@ -54,13 +54,14 @@ def _load_native():
             c.POINTER(c.c_int64), c.c_int, c.c_int, c.c_int, c.c_int,
             c.c_int, c.POINTER(c.c_int), c.POINTER(c.c_uint),
             c.c_double, c.c_double, c.c_double, c.c_double, c.c_int,
+            c.c_double,
         ]
         lib.cedar_perf_search.restype = c.c_double
         lib.cedar_perf_search.argtypes = [
             c.POINTER(c.c_int64), c.c_int, c.c_int, c.c_int, c.c_int,
             c.c_int, c.POINTER(c.c_int), c.POINTER(c.c_uint),
             c.c_double, c.c_double, c.c_double, c.c_double, c.c_int,
-            c.POINTER(c.c_uint),
+            c.c_double, c.POINTER(c.c_uint),
         ]
         _lib = lib
     except (OSError, subprocess.SubprocessError):
@@ -80,6 +81,7 @@ class MachineParams:
     ici_bw: float = 45e9
     ici_lat: float = 1e-6
     flop_rate: float = 2e13
+    op_overhead: float = 2e-6   # fixed cost per launched device op
 
     @classmethod
     def from_config(cls, conf) -> "MachineParams":
@@ -88,6 +90,7 @@ class MachineParams:
             ici_bw=conf.get("machine.bandwidth", 45e9),
             ici_lat=conf.get("machine.latency", 1e-6),
             flop_rate=1.0 / conf.get("machine.fp_perf", 5e-14),
+            op_overhead=conf.get("machine.overhead", 2e-6),
         )
 
 
@@ -130,7 +133,20 @@ def _level_time(shape, stencil, nsweeps, mesh, mask, m, bpe):
     hb = _halo_bytes(shape, mesh, mask, bpe)
     if hb:
         comm_t = (nsweeps + 2) * (hb / m.ici_bw + m.ici_lat)
-    return max(hbm_t, comp_t) + comm_t
+    return max(hbm_t, comp_t) + comm_t + passes * m.op_overhead
+
+
+def _cg_solve_time(shape, mesh, mask, m, bpe):
+    """Direct coarse solve: dense inverse applied by matmul on the
+    REPLICATED coarse system (the implementation always replicates the
+    coarsest level — "redundant" mode); the TPU analogue of the
+    reference's DPBTRS term (src/perf/vcycle_model.cc:162 tcgsolve).
+    Mask-independent by construction."""
+    del mask
+    pts = _shard_points(shape, mesh, 0)
+    comp_t = 2.0 * pts * pts / m.flop_rate
+    hbm_t = pts * pts * bpe / m.hbm_bw
+    return max(hbm_t, comp_t) + m.op_overhead
 
 
 def _agglom_time(shape, mesh, from_mask, to_mask, m, bpe):
@@ -167,16 +183,23 @@ def cycle_time(shapes, mesh, masks, machine: MachineParams,
             ctypes.c_double(machine.hbm_bw), ctypes.c_double(machine.ici_bw),
             ctypes.c_double(machine.ici_lat),
             ctypes.c_double(machine.flop_rate), dtype_bytes,
+            ctypes.c_double(machine.op_overhead),
         )
     total = 0.0
     for lvl, shape in enumerate(shapes):
         st = stencil_fine if lvl == 0 else stencil_coarse
-        total += _level_time(shape, st, nsweeps, mesh, masks[lvl],
-                             machine, dtype_bytes)
+        if lvl == nlevels - 1:
+            total += _cg_solve_time(shape, mesh, masks[lvl], machine,
+                                    dtype_bytes)
+        else:
+            total += _level_time(shape, st, nsweeps, mesh, masks[lvl],
+                                 machine, dtype_bytes)
         if lvl + 1 < nlevels:
-            # agglomeration gathers the COARSE level's data
+            # agglomeration gathers the COARSE level's data; the coarsest
+            # level is always replicated (redundant coarse solve)
+            to = 0 if lvl + 1 == nlevels - 1 else masks[lvl + 1]
             total += _agglom_time(shapes[lvl + 1], mesh, masks[lvl],
-                                  masks[lvl + 1], machine, dtype_bytes)
+                                  to, machine, dtype_bytes)
     return total
 
 
@@ -186,7 +209,9 @@ def search_schedule(shapes, mesh, allowed, machine: MachineParams,
     """Optimal monotone agglomeration schedule (A*).
 
     ``allowed[l]`` is a bitmask of mesh axes that may be sharded at level
-    l (divisibility/minimum-size constraints).  Returns (masks, seconds).
+    l (divisibility/minimum-size constraints); the coarsest level is
+    always replicated (redundant coarse solve), so its allowed mask is
+    forced to 0.  Returns (masks, seconds).
     """
     lib = _load_native()
     nlevels = len(shapes)
@@ -203,7 +228,8 @@ def search_schedule(shapes, mesh, allowed, machine: MachineParams,
             cmesh, callow,
             ctypes.c_double(machine.hbm_bw), ctypes.c_double(machine.ici_bw),
             ctypes.c_double(machine.ici_lat),
-            ctypes.c_double(machine.flop_rate), dtype_bytes, out,
+            ctypes.c_double(machine.flop_rate), dtype_bytes,
+            ctypes.c_double(machine.op_overhead), out,
         )
         return list(out), cost
 
@@ -211,6 +237,9 @@ def search_schedule(shapes, mesh, allowed, machine: MachineParams,
     nmasks = 1 << ndim
 
     def lt(lvl, mask):
+        if lvl == nlevels - 1:
+            return _cg_solve_time(shapes[lvl], mesh, mask, machine,
+                                  dtype_bytes)
         st = stencil_fine if lvl == 0 else stencil_coarse
         return _level_time(shapes[lvl], st, nsweeps, mesh, mask, machine,
                            dtype_bytes)
@@ -221,14 +250,18 @@ def search_schedule(shapes, mesh, allowed, machine: MachineParams,
         st = stencil_fine if lvl == 0 else stencil_coarse
         pts = _shard_points(shapes[lvl], mesh, full)
         planes = (st + 1) // 2 + 1
-        h[lvl] = h[lvl + 1] + pts * dtype_bytes * (planes + 3) * (
+        est = pts * dtype_bytes * (planes + 3) * (
             nsweeps + 3) / machine.hbm_bw
+        if lvl == nlevels - 1:
+            est = 0.0  # the direct coarse solve may be cheaper
+        h[lvl] = h[lvl + 1] + est
 
     dist = {}
     parent = {}
     openq = []
+    allow0 = 0 if nlevels == 1 else allowed[0]
     for mk in range(nmasks):
-        if mk & ~allowed[0]:
+        if mk & ~allow0:
             continue
         c = lt(0, mk)
         dist[(1, mk)] = c
@@ -242,8 +275,10 @@ def search_schedule(shapes, mesh, allowed, machine: MachineParams,
         if lvl == nlevels:
             best = (dist[(lvl, mask)], mask)
             break
+        # coarsest level: always replicated (redundant coarse solve)
+        allow_l = 0 if lvl == nlevels - 1 else allowed[lvl]
         for mk in range(nmasks):
-            if mk & ~allowed[lvl] or mk & ~mask:
+            if mk & ~allow_l or mk & ~mask:
                 continue
             step = _agglom_time(shapes[lvl], mesh, mask, mk, machine,
                                 dtype_bytes) + lt(lvl, mk)

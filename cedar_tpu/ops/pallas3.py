@@ -136,18 +136,18 @@ def supported(shape, dtype, kind) -> bool:
         return False
     if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
         return False
-    nx = shape[0]
+    nx, ny, nz = shape
     _, kp = _dims(shape)
     plan = _plan(kind, kp, "down", False, nx)
     if plan is not None and nx >= 2 * plan[0][2]:
         return True
-    # rows too wide for the pipelined kernel (e.g. 256^3): the 2D-tiled
-    # fallback covers the 7-point case (27-pt at such widths runs XLA)
-    if kind != StencilKind.seven_pt:
+    # rows too wide for the flattened kernel (e.g. 256^3): the 2D-tiled
+    # pipelined variant tiles (x, y) with nine halo-block streams
+    nzp = -(-nz // 128) * 128
+    if nzp > 2 * nz + 64:
         return False
-    from cedar_tpu.ops import pallas3_tiled
-
-    return pallas3_tiled.supported(shape, dtype, kind)
+    tile = _tile2d_for(kind, nzp, nx, ny)
+    return tile is not None and nx >= 2 * tile[2] and ny >= 2 * tile[3]
 
 
 def _roll(a, dr, dl):
@@ -256,16 +256,8 @@ def point_relax(so, q, b, rec, updown, fuse_residual=False, origin=None,
     ndir = so.shape[0]
     plan = _plan(kind, kp, updown, fuse_residual, nx)
     if plan is None or nx < 2 * plan[0][2]:
-        if kind != StencilKind.seven_pt:
-            raise ValueError(
-                "no feasible pallas plan for this 27-pt shape "
-                "(callers must gate on supported())"
-            )
-        from cedar_tpu.ops import pallas3_tiled
-
-        return pallas3_tiled.point_relax(
-            so, q, b, None, updown, fuse_residual, origin
-        )
+        return _point_relax_2d_tiled(so, q, b, kind, updown,
+                                     fuse_residual, origin)
     Tx = plan[0][3]
     nxp = -(-nx // Tx) * Tx
 
@@ -292,6 +284,35 @@ def point_relax(so, q, b, rec, updown, fuse_residual=False, origin=None,
         return (qF[:nx, :k].reshape(nx, ny, nz),
                 res[:nx, :k].reshape(nx, ny, nz))
     return qF[:nx, :k].reshape(nx, ny, nz)
+
+
+def _point_relax_2d_tiled(so, q, b, kind, updown, fuse_residual, origin):
+    """Dispatch to the 2D-tiled pipelined kernel (pads to tile multiples)."""
+    nx, ny, nz = q.shape
+    nzp = -(-nz // 128) * 128
+    tile = _tile2d_for(kind, nzp, nx, ny)
+    if tile is None:
+        raise ValueError(
+            "no feasible pallas plan for this shape "
+            "(callers must gate on supported())"
+        )
+    Tx, Ty, HX, HY = tile
+    nxp = -(-nx // Tx) * Tx
+    nyp = -(-ny // Ty) * Ty
+    nph = 2 if kind == StencilKind.seven_pt else 8
+    if (nxp, nyp, nzp) != (nx, ny, nz):
+        pw = ((0, nxp - nx), (0, nyp - ny), (0, nzp - nz))
+        so = jnp.pad(so, ((0, 0),) + pw)
+        so = so.at[Dir3.P, nx:, :, :].set(1.0)
+        so = so.at[Dir3.P, :, ny:, :].set(1.0)
+        so = so.at[Dir3.P, :, :, nz:].set(1.0)
+        q = jnp.pad(q, pw)
+        b = jnp.pad(b, pw)
+    out = _point_relax2d_call(so, q, b, kind, updown, 0, nph, tile,
+                              fuse_residual, origin)
+    if fuse_residual:
+        return out[0][:nx, :ny, :nz], out[1][:nx, :ny, :nz]
+    return out[:nx, :ny, :nz]
 
 
 @functools.partial(
@@ -370,6 +391,230 @@ def _point_relax_call(so, q, b, kind, updown, nz, lo, hi, H, Tx,
         ),
         interpret=INTERPRET,
     )(origin, so, so, so, b, b, b, q, q, q)
+    if fuse_residual:
+        return q_out, res
+    return q_out
+
+
+# ---------------------------------------------------------------------------
+# 2D-tiled pipelined variant: for grids whose flattened (ny*nz) rows exceed
+# the VMEM budget (e.g. the 256^3 fine level).  Windows tile (x, y) with the
+# full z extent as lanes; halo blocks on all four sides plus corners feed as
+# nine auto-pipelined streams per array.  x blocks may be any size (untiled
+# dim); y blocks are 8-row quantized.
+# ---------------------------------------------------------------------------
+
+def _tile2d_for(kind: StencilKind, nz: int, nx: int, ny: int,
+                dtype_bytes: int = 4):
+    """(Tx, Ty, HX, HY) under the VMEM budget, or None."""
+    if kind == StencilKind.seven_pt:
+        HX, HY, ncpl, nd = 3, 8, 6, 4
+    else:
+        HX, HY, ncpl, nd = 9, 16, 26, 14
+    cellb = nz * dtype_bytes
+    cells = _VMEM_BUDGET // cellb
+    per = 2 * (nd + 2) + (nd + 2) + 2 * ncpl + 8
+    wmax = cells // per
+    # pick Ty (8-quantized), then Tx (HX-quantized)
+    best = None
+    for ty in range(8, max(ny, 8) + 1, 8):
+        tx = (wmax // (ty + 2 * HY) - 2 * HX) // HX * HX
+        if tx < HX:
+            continue
+        tx = min(tx, -(-nx // HX) * HX)
+        ty2 = min(ty, -(-ny // 8) * 8)
+        eff = (tx * ty2) / float((tx + 2 * HX) * (ty2 + 2 * HY))
+        if best is None or eff > best[0]:
+            best = (eff, tx, ty2)
+    if best is None:
+        return None
+    _, tx, ty = best
+    return tx, ty, HX, HY
+
+
+def _sweep2d_kernel(
+    orig_ref,
+    so_m, so_xt, so_xb, so_yl, so_yr, so_c00, so_c01, so_c10, so_c11,
+    b_m, b_xt, b_xb, b_yl, b_yr, b_c00, b_c01, b_c10, b_c11,
+    q_m, q_xt, q_xb, q_yl, q_yr, q_c00, q_c01, q_c10, q_c11,
+    out_m, res_m,
+    *, kind, updown, Tx, Ty, HX, HY, nx, ny, nz, lo, hi, fuse_residual,
+):
+    Rx = Tx + 2 * HX
+    Ry = Ty + 2 * HY
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+
+    def asm(m, xt, xb, yl, yr, c00, c01, c10, c11, ax):
+        top = jnp.concatenate([c00[...], xt[...], c01[...]], axis=ax + 1)
+        mid = jnp.concatenate([yl[...], m[...], yr[...]], axis=ax + 1)
+        bot = jnp.concatenate([c10[...], xb[...], c11[...]], axis=ax + 1)
+        return jnp.concatenate([top, mid, bot], axis=ax)
+
+    so = asm(so_m, so_xt, so_xb, so_yl, so_yr, so_c00, so_c01, so_c10,
+             so_c11, 1)
+    b = asm(b_m, b_xt, b_xb, b_yl, b_yr, b_c00, b_c01, b_c10, b_c11, 0)
+    q = asm(q_m, q_xt, q_xb, q_yl, q_yr, q_c00, q_c01, q_c10, q_c11, 0)
+
+    x0 = i * Tx - HX
+    y0 = j * Ty - HY
+    ix = jax.lax.broadcasted_iota(jnp.int32, (Rx, Ry, nz), 0)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (Rx, Ry, nz), 1)
+    iz = jax.lax.broadcasted_iota(jnp.int32, (Rx, Ry, nz), 2)
+    x1 = (orig_ref[0] + x0 + ix) % 2
+    y1 = (orig_ref[1] + y0 + iy) % 2
+    z1 = (orig_ref[2] + iz) % 2
+    hix = (x0 + ix) < (nx - 1)
+    hiy = (y0 + iy) < (ny - 1)
+
+    if kind == StencilKind.seven_pt:
+        table = {
+            (-1, 0, 0): (Dir3.PW, (0, 0, 0)),
+            (1, 0, 0): (Dir3.PW, (1, 0, 0)),
+            (0, -1, 0): (Dir3.PS, (0, 0, 0)),
+            (0, 1, 0): (Dir3.PS, (0, 1, 0)),
+            (0, 0, -1): (Dir3.B, (0, 0, 0)),
+            (0, 0, 1): (Dir3.B, (0, 0, 1)),
+        }
+    else:
+        table = NEIGHBOR_COUPLINGS_27
+    zero = jnp.zeros((), so.dtype)
+
+    def shift3z(a, sx, sy, sz):
+        out = a
+        for ax, d in enumerate((sx, sy, sz)):
+            if d:
+                pad_shape = list(out.shape)
+                pad_shape[ax] = d
+                pad = jnp.zeros(pad_shape, out.dtype)
+                idx = [slice(None)] * 3
+                idx[ax] = slice(d, None)
+                out = jnp.concatenate([out[tuple(idx)], pad], axis=ax)
+        return out
+
+    def roll3(a, dx, dy, dz):
+        out = a
+        for ax, d in enumerate((dx, dy, dz)):
+            if d:
+                out = pltpu.roll(out, (-d) % out.shape[ax], ax)
+        return out
+
+    def coupling(off):
+        plane, sh = table[off]
+        p = so[plane]
+        if any(sh):
+            p = shift3z(p, *sh)
+        if off[0] > 0:
+            p = jnp.where(hix, p, zero)
+        if off[1] > 0:
+            p = jnp.where(hiy, p, zero)
+        return p
+
+    def offdiag(q):
+        acc = None
+        for off in table:
+            term = coupling(off) * roll3(q, *off)
+            acc = term if acc is None else acc + term
+        return acc
+
+    diag = so[Dir3.P]
+    rec = 1.0 / diag
+    for ph in range(lo, hi):
+        mask = _phase_mask(kind, updown, ph, x1, y1, z1)
+        upd = (b + offdiag(q)) * rec
+        q = jnp.where(mask, upd, q)
+
+    out_m[...] = q[HX : HX + Tx, HY : HY + Ty]
+    if fuse_residual:
+        res = b + offdiag(q) - diag * q
+        res_m[...] = res[HX : HX + Tx, HY : HY + Ty]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "updown", "lo", "hi", "tile", "fuse_residual"),
+)
+def _point_relax2d_call(so, q, b, kind, updown, lo, hi, tile,
+                        fuse_residual=False, origin=None):
+    nxp, nyp, nz = q.shape
+    ndir = so.shape[0]
+    Tx, Ty, HX, HY = tile
+    assert nxp % Tx == 0 and nyp % Ty == 0
+    dtype = q.dtype
+    if origin is None:
+        origin = jnp.zeros((3,), jnp.int32)
+
+    kernel = functools.partial(
+        _sweep2d_kernel,
+        kind=kind, updown=updown, Tx=Tx, Ty=Ty, HX=HX, HY=HY,
+        nx=nxp, ny=nyp, nz=nz, lo=lo, hi=hi, fuse_residual=fuse_residual,
+    )
+    out_shapes = [
+        jax.ShapeDtypeStruct((nxp, nyp, nz), dtype),
+        jax.ShapeDtypeStruct(
+            (nxp, nyp, nz) if fuse_residual else (8, 8, 128), dtype
+        ),
+    ]
+    txb = Tx // HX
+    tyb = Ty // HY
+    nbx = nxp // HX - 1
+    nby = nyp // HY - 1
+
+    def xm(i):
+        return i
+
+    def xt(i):
+        return jnp.maximum(i * txb - 1, 0)
+
+    def xb(i):
+        return jnp.minimum((i + 1) * txb, nbx)
+
+    def ym(j):
+        return j
+
+    def yt(j):
+        return jnp.maximum(j * tyb - 1, 0)
+
+    def yb(j):
+        return jnp.minimum((j + 1) * tyb, nby)
+
+    def spec(shape, fx, fy, lead=0):
+        if lead:
+            return pl.BlockSpec(
+                (ndir,) + shape, lambda i, j, fx=fx, fy=fy: (0, fx(i),
+                                                            fy(j), 0))
+        return pl.BlockSpec(
+            shape, lambda i, j, fx=fx, fy=fy: (fx(i), fy(j), 0))
+
+    def nine(lead):
+        return [
+            spec((Tx, Ty, nz), xm, ym, lead),
+            spec((HX, Ty, nz), xt, ym, lead),
+            spec((HX, Ty, nz), xb, ym, lead),
+            spec((Tx, HY, nz), xm, yt, lead),
+            spec((Tx, HY, nz), xm, yb, lead),
+            spec((HX, HY, nz), xt, yt, lead),
+            spec((HX, HY, nz), xt, yb, lead),
+            spec((HX, HY, nz), xb, yt, lead),
+            spec((HX, HY, nz), xb, yb, lead),
+        ]
+
+    q_out, res = pl.pallas_call(
+        kernel,
+        grid=(nxp // Tx, nyp // Ty),
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                  + nine(1) + nine(0) + nine(0)),
+        out_specs=[
+            spec((Tx, Ty, nz), xm, ym),
+            spec((Tx, Ty, nz), xm, ym) if fuse_residual
+            else pl.BlockSpec((8, 8, 128), lambda i, j: (0, 0, 0)),
+        ],
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_BUDGET,
+        ),
+        interpret=INTERPRET,
+    )(origin, *([so] * 9), *([b] * 9), *([q] * 9))
     if fuse_residual:
         return q_out, res
     return q_out

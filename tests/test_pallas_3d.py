@@ -116,7 +116,36 @@ def test_supported_gates():
     tsp = StencilKind.twenty_seven_pt
     assert pallas3.supported((256, 256, 256), f32, seven)
     assert pallas3.supported((64, 64, 128), f32, tsp)
-    assert not pallas3.supported((129, 129, 129), f32, tsp)  # row too wide
-    assert not pallas3.supported((256, 256, 256), f32, tsp)  # row too wide
-    assert not pallas3.supported((8, 64, 128), f32, seven)   # too few rows
+    assert pallas3.supported((128, 128, 128), f32, tsp)  # 2D-tiled path
+    assert not pallas3.supported((4, 64, 128), f32, seven)   # too few rows
     assert not pallas3.supported((256, 256, 256), jnp.float64, seven)
+
+
+def test_pallas3_2d_tiled_path(monkeypatch):
+    """Force the 2D-tiled pipelined variant (flattened rows over budget)
+    and check it matches the XLA sweep, including the fused residual."""
+    if not ON_TPU:
+        monkeypatch.setattr(pallas3, "INTERPRET", True)
+    n = (24, 16, 40)
+    kind = StencilKind.seven_pt
+    rng = np.random.default_rng(23)
+    from test_kernels_3d import random_so
+
+    so = jnp.asarray(random_so(rng, *n, False), jnp.float32)
+    q = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    rec = setup_recip(so)
+    origin = jnp.zeros((3,), jnp.int32)
+    for updown in ("down", "up"):
+        ref = relax_xla(so, q, b, rec, kind, updown)
+        got = pallas3._point_relax_2d_tiled(so, q, b, kind, updown, False,
+                                            origin)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   atol=1e-5)
+    ref = relax_xla(so, q, b, rec, kind, "down")
+    got, res = pallas3._point_relax_2d_tiled(so, q, b, kind, "down", True,
+                                             origin)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-5)
+    ref_res = residual(so, ref, b, kind)
+    np.testing.assert_allclose(np.asarray(ref_res), np.asarray(res),
+                               atol=1e-4)

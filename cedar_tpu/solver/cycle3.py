@@ -157,8 +157,17 @@ def ncycle(
         with scope("residual"):
             res = residual(lev.so, x, b, kind, periodic)
     coarse = levels[lvl + 1]
-    with scope("restrict"):
-        cb = restrict(coarse.ci, res, periodic)
+    # Pallas restriction (interp_add stays on the XLA path — measured
+    # faster there, see ops/pallas_transfer3.py)
+    if coarse.cip is not None and shard is None:
+        from cedar_tpu.ops import pallas_transfer3 as pt
+
+        with scope("restrict"):
+            cb = pt.restrict(coarse.cip, pt.split_res(res),
+                             coarse.so.shape[1:])
+    else:
+        with scope("restrict"):
+            cb = restrict(coarse.ci, res, periodic)
     if constraints is not None:
         # agglomeration point: pin the coarse level's (sub)mesh placement
         cb = jax.lax.with_sharding_constraint(cb, constraints[lvl + 1])

@@ -82,11 +82,27 @@ def setup_hierarchy(
         cis.append(ci)
 
     point = settings.relaxation == RelaxType.point
+
+    # Pallas restriction workspace: stacked per-coarse-point weight planes,
+    # keyed to the FINER level's dims (interp_add stays on XLA — measured
+    # slower as a Pallas kernel, see ops/pallas_transfer3.py)
+    use_pt = settings.kernel_backend == "pallas" and not any(periodic)
+
+    def _pw3_field(lvl):
+        from cedar_tpu.ops import pallas_transfer3 as pt
+
+        fine_shape = sos[lvl - 1].shape[1:]
+        if lvl >= 1 and use_pt and pt.supported(fine_shape,
+                                                sos[lvl - 1].dtype):
+            return pt.setup_pw3(cis[lvl], fine_shape)
+        return None
+
     levels = []
     for lvl in range(nlevels):
         if lvl < nlevels - 1:
             recip = _recip_j(sos[lvl]) if point else None
-            levels.append(Level(so=sos[lvl], recip=recip, ci=cis[lvl]))
+            levels.append(Level(so=sos[lvl], recip=recip, ci=cis[lvl],
+                                cip=_pw3_field(lvl)))
         else:
             if settings.coarse_solver != CGType.lu and nlevels > 1:
                 # cg-solver "cedar"/"redist": inner multigrid on the
@@ -100,13 +116,15 @@ def setup_hierarchy(
                     sos[lvl], StencilKind.twenty_seven_pt, nl_in, ist,
                     periodic, indefinite,
                 )
-                levels.append(Level(so=sos[lvl], ci=cis[lvl], inner=inner))
+                levels.append(Level(so=sos[lvl], ci=cis[lvl], inner=inner,
+                                    cip=_pw3_field(lvl)))
             else:
                 ainv = _cg_j(
                     sos[lvl], kind=kinds[lvl], periodic=periodic,
                     indefinite=indefinite,
                 )
-                levels.append(Level(so=sos[lvl], ci=cis[lvl], ainv=ainv))
+                levels.append(Level(so=sos[lvl], ci=cis[lvl], ainv=ainv,
+                                    cip=_pw3_field(lvl)))
     return tuple(levels)
 
 

@@ -9,39 +9,35 @@ driver).  Configs:
  4. 3D Poisson 7-pt (point and plane relaxation)
  5. 3D 27-pt (fe) with coarse-grid agglomeration on the mesh
 
-Timing: chained cycles inside one jitted fori_loop + scalar fetch (the
-remote TPU runtime acks dispatch before completion).
+Timing: chained cycles inside one jitted fori_loop, measured at TWO rep
+counts with the per-cycle time taken from the differenced slope (the
+remote runtime acks dispatch early AND has a ~28 ms fixed per-call cost —
+see tools/timing_util.py).
 """
 
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
+
+from timing_util import timed_loop
 
 from cedar_tpu import FivePt, NinePt, SevenPt, TwentySevenPt, gallery
 from cedar_tpu import Solver2, Solver3
 from cedar_tpu.config import Config
 
 
-def time_cycles(solver, b, reps=30):
-    @jax.jit
-    def run(levels, x, b):
-        def body(i, x):
-            return solver._cycle_impl(levels, x, b)
-
-        return jax.lax.fori_loop(0, reps, body, x)
-
-    x = run(solver.levels, jnp.zeros_like(b), b)
-    float(jnp.sum(x))
-    t0 = time.perf_counter()
-    x = run(solver.levels, jnp.zeros_like(b), b)
-    float(jnp.sum(x))
-    return (time.perf_counter() - t0) / reps
+def time_cycles(solver, b, reps=(8, 40)):
+    ms = timed_loop(
+        lambda x, levels, b: solver._cycle_impl(levels, x, b),
+        jnp.zeros_like(b), solver.levels, b, reps=reps,
+    )
+    return ms * 1e-3
 
 
 def report(name, n_points, dt, extra=None):

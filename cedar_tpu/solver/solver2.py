@@ -23,7 +23,7 @@ from cedar_tpu.core.types import StencilKind
 from cedar_tpu.ops import cg
 from cedar_tpu.ops.galerkin2 import coarsen_op
 from cedar_tpu.ops.interp2 import setup_interp
-from cedar_tpu.ops.lines2 import setup_lines
+from cedar_tpu.ops.lines2 import setup_lines, setup_lines_spike
 from cedar_tpu.ops.relax2 import setup_recip
 from cedar_tpu.ops.stencil2 import residual
 from cedar_tpu import schema
@@ -69,16 +69,36 @@ _setup_interp_j = jax.jit(setup_interp, static_argnames=("kind", "periodic"))
 _coarsen_j = jax.jit(coarsen_op, static_argnames=("kind", "periodic"))
 _recip_j = jax.jit(setup_recip)
 _lines_j = jax.jit(setup_lines, static_argnames=("kind", "axis"))
+_lines_spike_j = jax.jit(
+    setup_lines_spike, static_argnames=("kind", "axis")
+)
 _cg_j = jax.jit(
     cg.setup_cg_lu, static_argnames=("kind", "periodic", "indefinite")
 )
 
 
+def _is_multidev(a) -> bool:
+    try:
+        return len(a.sharding.device_set) > 1
+    except Exception:       # tracers (vmapped plane setup) have no
+        return False        # committed sharding -> treat as single-device
+
+
 def setup_level_workspace(so, kind, settings, periodic):
     point, lx, ly = _needs(settings)
     recip = _recip_j(so) if point else None
-    sor_x = _lines_j(so, kind=kind, axis="x") if lx else None
-    sor_y = _lines_j(so, kind=kind, axis="y") if ly else None
+
+    def sor(axis, n_line, per_line):
+        # long serial lines: cached interface-reduction (SPIKE) factors —
+        # one operand pass per solve instead of PCR's log2(n) passes.
+        # Distributed levels keep the LDLᵀ array (the line solves run
+        # PCR inside shard_map there; see lines2._local_solve).
+        if n_line >= 64 and not per_line and not _is_multidev(so):
+            return _lines_spike_j(so, kind=kind, axis=axis)
+        return _lines_j(so, kind=kind, axis=axis)
+
+    sor_x = sor("x", so.shape[1], periodic[0]) if lx else None
+    sor_y = sor("y", so.shape[2], periodic[1]) if ly else None
     return recip, sor_x, sor_y
 
 

@@ -163,3 +163,31 @@ def test_pcr_matches_thomas():
     np.testing.assert_allclose(
         np.asarray(x_pcr), np.asarray(x_thomas), atol=1e-11
     )
+
+
+def test_spike_matches_pcr_sweep():
+    """The cached interface-reduction (SPIKE) path must reproduce the PCR
+    sweep to roundoff — whole zebra sweeps, both axes, odd shapes."""
+    import cedar_tpu.ops.lines2 as L
+
+    rng = np.random.default_rng(5)
+    nx, ny = 129, 97
+    so = gallery.diag_diffusion(nx, ny, 1.0, 1e-2)
+    b = jnp.asarray(rng.standard_normal((nx, ny)))
+    q0 = jnp.asarray(rng.standard_normal((nx, ny)))
+
+    sor_ldl_x = L.setup_lines(so, StencilKind.five_pt, "x")
+    sor_ldl_y = L.setup_lines(so, StencilKind.five_pt, "y")
+    spike_x = L.setup_lines_spike(so, StencilKind.five_pt, "x")
+    spike_y = L.setup_lines_spike(so, StencilKind.five_pt, "y")
+    assert isinstance(spike_x, L.SpikeLines)
+
+    for updown in ("down", "up"):
+        a = L.line_relax_x(so, q0, b, sor_ldl_x, StencilKind.five_pt,
+                           updown)
+        s = L.line_relax_x(so, q0, b, spike_x, StencilKind.five_pt, updown)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(s), atol=1e-11)
+        a = L.line_relax_y(so, q0, b, sor_ldl_y, StencilKind.five_pt,
+                           updown)
+        s = L.line_relax_y(so, q0, b, spike_y, StencilKind.five_pt, updown)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(s), atol=1e-11)

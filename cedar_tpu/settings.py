@@ -94,6 +94,19 @@ class MLSettings:
     # exposed here as a config knob — kernel_params.h:11-46 carries the flag
     # but the reference's builder hardcodes it true)
     relax_symmetric: bool = True
+    # multilevel line relaxation (reference: solver.ml-relax.* selecting the
+    # log-depth "n-level" line solves of include/cedar/2d/mpi/ml_relax.h over
+    # the two-level gather).  TPU analogues: enabled=True forces the
+    # log-depth PCR line algorithm; enabled=False (default, matching the
+    # reference default) uses the two-level interface reduction (cached
+    # SPIKE factors) on long serial lines.  min-gsz is the group size below
+    # which the reduction tree collapses to a direct (Thomas) solve;
+    # factorize is accepted for config parity but is a no-op here — the
+    # SPIKE path always caches factors at setup, and PCR re-eliminates by
+    # construction (the reference's "n-level" vs "n-level-elim" split).
+    ml_relax_enabled: bool = False
+    ml_relax_min_gsz: int = 3
+    ml_relax_factorize: bool = True
     coarse_config: Config | None = None
     rsettings: RedistSettings | None = None
     plane_settings: "MLSettings | None" = None
@@ -134,6 +147,10 @@ class MLSettings:
         )
 
         s.relax_symmetric = conf.get("solver.relax-symmetric", True)
+
+        s.ml_relax_enabled = conf.get("solver.ml-relax.enabled", False)
+        s.ml_relax_min_gsz = conf.get("solver.ml-relax.min-gsz", 3)
+        s.ml_relax_factorize = conf.get("solver.ml-relax.factorize", True)
 
         cg = conf.get("solver.cg-solver", "LU")
         try:

@@ -93,7 +93,14 @@ def setup_level_workspace(so, kind, settings, periodic):
         # one operand pass per solve instead of PCR's log2(n) passes.
         # Distributed levels keep the LDLᵀ array (the line solves run
         # PCR inside shard_map there; see lines2._local_solve).
-        if n_line >= 64 and not per_line and not _is_multidev(so):
+        # solver.ml-relax.enabled forces the log-depth (PCR) algorithm —
+        # the reference's "n-level" line relax (ml_relax.h) analogue.
+        if (
+            n_line >= 64
+            and not per_line
+            and not _is_multidev(so)
+            and not settings.ml_relax_enabled
+        ):
             return _lines_spike_j(so, kind=kind, axis=axis)
         return _lines_j(so, kind=kind, axis=axis)
 

@@ -191,3 +191,29 @@ def test_spike_matches_pcr_sweep():
                            updown)
         s = L.line_relax_y(so, q0, b, spike_y, StencilKind.five_pt, updown)
         np.testing.assert_allclose(np.asarray(a), np.asarray(s), atol=1e-11)
+
+
+def test_ml_relax_knob_selects_log_depth_algorithm():
+    """solver.ml-relax.enabled switches long-line solves to the log-depth
+    (PCR) algorithm — the reference's "n-level" line relax analogue
+    (include/cedar/2d/mpi/ml_relax.h) — with identical results."""
+    nx = ny = 96
+    so = gallery.diag_diffusion(nx, ny, 100.0, 1.0)
+    b = gallery.poisson_rhs(nx, ny)
+    base = {
+        "log": [],
+        "solver": {"relaxation": "line-xy", "tol": 1e-9, "max-iter": 30},
+    }
+    s0 = Solver2(so, FivePt, Config(base))
+    ml = dict(base)
+    ml["solver"] = dict(base["solver"])
+    ml["solver"]["ml-relax"] = {
+        "enabled": True, "min-gsz": 3, "factorize": False,
+    }
+    s1 = Solver2(so, FivePt, Config(ml))
+    from cedar_tpu.ops import lines2
+    assert isinstance(s0.levels[0].sor_x, lines2.SpikeLines)
+    assert not isinstance(s1.levels[0].sor_x, lines2.SpikeLines)
+    x0 = s0.solve(b)
+    x1 = s1.solve(b)
+    np.testing.assert_allclose(np.asarray(x0), np.asarray(x1), atol=1e-9)

@@ -319,6 +319,181 @@ def _spike_solve(f: SpikeFactors, rhs: jnp.ndarray) -> jnp.ndarray:
     return x3.transpose(1, 0, 2).reshape(npad, nb)[:n]
 
 
+# ---------------------------------------------------------------------------
+# Distributed interface-reduction (SPIKE) line solves.
+#
+# The reference's distributed zebra algorithm (LineSolve_A/B/C,
+# src/2d/ftn/mpi/BMG2_SymStd_relax_lines_x.f90:156-277) eliminates each
+# rank's block interior, gathers 8 interface coefficients per line ONCE,
+# solves the reduced tridiagonal on the line root, scatters, and
+# back-substitutes.  This is the same SPIKE factorization as the serial
+# cached path above with "block" = "shard": factors are built per shard at
+# setup inside shard_map, the reduced (2·P)-row tridiagonal coefficients
+# are all-gathered once at setup and stored replicated, and each solve does
+# exactly ONE all_gather of (2, nb) interface rhs rows per color — vs the
+# full-line gather of `_local_solve` (which moves the whole operand) or
+# auto-SPMD PCR (collectives on every log2(n) step).
+# ---------------------------------------------------------------------------
+
+
+class DistSpikeFactors(NamedTuple):
+    """Per-color distributed SPIKE workspace (global arrays on the mesh).
+
+    With P shards along the line axis and local block length L:
+    interior arrays are ((L-2)*P, nb) sharded along the line axis (each
+    shard holds its own block's rows); ``up0/loL`` are (P, nb); the
+    reduced-system rows ``rlo/rdg/rup`` are (2P, nb) replicated along the
+    line axis (interleaved block-first/block-last, shard order).
+    """
+    l: jnp.ndarray
+    dinv: jnp.ndarray
+    upi: jnp.ndarray
+    p: jnp.ndarray
+    q: jnp.ndarray
+    up0: jnp.ndarray
+    loL: jnp.ndarray
+    rlo: jnp.ndarray
+    rdg: jnp.ndarray
+    rup: jnp.ndarray
+
+
+@jax.tree_util.register_pytree_node_class
+class DistSpikeLines:
+    """Per-color distributed SPIKE factors + static mesh metadata."""
+
+    def __init__(self, even, odd, mesh, line_ax, batch_ax):
+        self.even = even
+        self.odd = odd
+        self.mesh = mesh
+        self.line_ax = line_ax
+        self.batch_ax = batch_ax
+
+    def __getitem__(self, parity):
+        return self.odd if parity else self.even
+
+    def tree_flatten(self):
+        return (self.even, self.odd), (self.mesh, self.line_ax,
+                                       self.batch_ax)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+
+def dist_spike_eligible(shape, spec, mesh, periodic, axis: str):
+    """Whether ``axis`` lines of a level with this sharding can run the
+    distributed interface reduction (callers fall back to the
+    line-axis-local gather otherwise)."""
+    nx, ny = shape
+    if axis == "y":
+        nx, ny = ny, nx
+        spec = (spec[1], spec[0])
+        periodic = (periodic[1], periodic[0])
+    la, ba = spec[0], spec[1]
+    if la is None or mesh.shape[la] <= 1:
+        return False
+    if periodic[0]:               # cyclic line: Sherman–Morrison path
+        return False
+    pl_ = mesh.shape[la]
+    if nx % pl_ or nx // pl_ < 4:
+        return False
+    if ba is not None:
+        pb = mesh.shape[ba]
+        if ((ny + 1) // 2) % pb or (ny // 2) % pb:
+            return False
+    return True
+
+
+def setup_lines_spike_dist(so, kind: StencilKind, axis: str, mesh,
+                           line_ax, batch_ax) -> DistSpikeLines:
+    """Build distributed SPIKE factors for the lines along ``axis``.
+
+    ``line_ax``/``batch_ax`` are the mesh-axis names sharding the line
+    and batch (cross-line) GRID axes of the (possibly transposed)
+    operator.  Reference: MPI_BMG2_SymStd_SETUP_lines_{x,y} + the
+    LineSolve_A elimination factors it caches.
+    """
+    from jax.sharding import PartitionSpec as _P
+
+    if axis == "y":
+        so = _transpose_so(so, kind)
+    diag = so[Dir2.O]
+    lo = -so[Dir2.W]
+    up = _shift0(lo, 1, 0.0)     # one-time global shift (halo at setup)
+
+    def local_setup(lo_l, dg_l, up_l):
+        L = dg_l.shape[0]
+        loi, dgi, upi = lo_l[1:L - 1], dg_l[1:L - 1], up_l[1:L - 1]
+        upi_z = upi.at[-1].set(0.0)
+        l, dinv = _interior_fac(loi, dgi, upi_z)
+        src_p = jnp.zeros_like(dgi).at[0].set(-loi[0])
+        src_q = jnp.zeros_like(dgi).at[-1].set(-upi[-1])
+        p = _interior_solve(l, dinv, upi_z, src_p)
+        q = _interior_solve(l, dinv, upi_z, src_q)
+        up0, loL = up_l[0], lo_l[L - 1]
+        red = jnp.stack([
+            jnp.stack([lo_l[0], loL * p[-1]]),             # rlo pair
+            jnp.stack([dg_l[0] + up0 * p[0],
+                       dg_l[L - 1] + loL * q[-1]]),        # rdg pair
+            jnp.stack([up0 * q[0], up_l[L - 1]]),          # rup pair
+        ])                                                 # (3, 2, nb)
+        redg = jax.lax.all_gather(red, line_ax)            # (P, 3, 2, nb)
+        redg = redg.transpose(1, 0, 2, 3).reshape(3, -1, red.shape[-1])
+        return (l, dinv, upi_z, p, q, up0[None], loL[None],
+                redg[0], redg[1], redg[2])
+
+    def one(parity):
+        lo_c = _cols(lo, parity)
+        dg_c = _cols(diag, parity)
+        up_c = _cols(up, parity)
+        dg_c = jnp.where(dg_c == 0.0, 1.0, dg_c)  # _cols zero-pad guard
+        sh = _P(line_ax, batch_ax)
+        rep = _P(None, batch_ax)
+        outs = jax.shard_map(
+            local_setup, mesh=mesh,
+            in_specs=(sh, sh, sh),
+            out_specs=(sh,) * 5 + (sh,) * 2 + (rep,) * 3,
+            check_vma=False,
+        )(lo_c, dg_c, up_c)
+        return DistSpikeFactors(*outs)
+
+    return DistSpikeLines(one(0), one(1), mesh, line_ax, batch_ax)
+
+
+def _dist_spike_solve(ws: DistSpikeLines, parity: int,
+                      rhs: jnp.ndarray) -> jnp.ndarray:
+    """Solve one color's factored line systems: ONE all_gather of the
+    (2, nb) interface rhs per call (LineSolve_B's MPI_GATHER analogue);
+    the reduced (2P)-row tridiagonal is solved replicated (redundant
+    solve — cheaper than root-solve + scatter on ICI)."""
+    from jax.sharding import PartitionSpec as _P
+
+    f = ws[parity]
+    la, ba = ws.line_ax, ws.batch_ax
+
+    def local(l, dinv, upi, p, q, up0, loL, rlo, rdg, rup, r):
+        L = r.shape[0]
+        phi = _interior_solve(l, dinv, upi, r[1:L - 1])
+        rr = jnp.stack([r[0] - up0[0] * phi[0],
+                        r[L - 1] - loL[0] * phi[-1]])     # (2, nb)
+        rr_all = jax.lax.all_gather(rr, la).reshape(-1, rr.shape[-1])
+        w = _pcr_solve(rlo, rdg, rup, rr_all)             # (2P, nb)
+        i = jax.lax.axis_index(la)
+        se = jax.lax.dynamic_slice_in_dim(w, 2 * i, 2, 0)
+        x_int = phi + p * se[0][None] + q * se[1][None]
+        return jnp.concatenate([se[:1], x_int, se[1:2]], axis=0)
+
+    sh = _P(la, ba)
+    rep = _P(None, ba)
+    return jax.shard_map(
+        local, mesh=ws.mesh,
+        in_specs=(sh,) * 5 + (sh,) * 2 + (rep,) * 3 + (sh,),
+        out_specs=sh,
+        check_vma=False,
+    )(f.l, f.dinv, f.upi, f.p, f.q, f.up0, f.loL, f.rlo, f.rdg, f.rup,
+      rhs)
+
+
 def _local_solve(solve, nargs, shard):
     """Wrap a batched tridiagonal solve so the LINE axis is solved locally.
 
@@ -463,6 +638,15 @@ def line_relax_x(
             q = _set_rows(q, sol, parity)
         return q
 
+    if isinstance(sor, DistSpikeLines) and not cyclic:
+        # distributed interface reduction: one interface all_gather per
+        # color (reference: LineSolve_A/B/C one-gather scheme)
+        for parity in order:
+            rhs = _cols(_line_rhs_x(so, q, b, kind, periodic), parity)
+            sol = _dist_spike_solve(sor, parity, rhs)
+            q = _set_rows(q, sol, parity)
+        return q
+
     use_pcr = q.shape[0] >= _PCR_MIN_LEN or isinstance(sor, SpikeLines)
     if use_pcr or cyclic:
         diag = so[Dir2.O]
@@ -511,7 +695,8 @@ def line_relax_y(
         shard_t = jax.sharding.NamedSharding(
             shard.mesh, jax.sharding.PartitionSpec(spec[1], spec[0])
         )
-    sor_t = sor if isinstance(sor, SpikeLines) else sor.transpose(0, 2, 1)
+    sor_t = (sor if isinstance(sor, (SpikeLines, DistSpikeLines))
+             else sor.transpose(0, 2, 1))
     qt = line_relax_x(
         so_t, q.T, b.T, sor_t, kind, updown, per_t,
         shard_t,

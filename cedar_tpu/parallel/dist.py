@@ -121,12 +121,45 @@ class _DistMixin:
             _place_level(lev, self.mesh, self.specs[i])
             for i, lev in enumerate(self.levels)
         )
+        self._dist_line_workspaces()
         self.constraints = [
             func_sharding(self.mesh, spec) for spec in self.specs
         ]
         # re-jit with the constrained cycle
         self._solve_jit = jax.jit(self._solve_impl)
         self._cycle_jit = jax.jit(self._cycle_impl)
+
+    def _dist_line_workspaces(self):
+        """Swap eligible levels' line workspaces for distributed SPIKE
+        (interface-reduction) factors — the reference's one-gather-per-
+        color distributed zebra scheme (LineSolve_A/B/C,
+        src/2d/ftn/mpi/BMG2_SymStd_relax_lines_x.f90:156-277).  Levels
+        whose line axis is unsharded, unevenly split, or periodic keep
+        the LDLᵀ workspace (line-axis-local PCR via shard_map); so does
+        everything when solver.ml-relax.enabled selects the log-depth
+        algorithm (the reference's "n-level" ml_relax variant)."""
+        if self._ndim != 2 or self.settings.ml_relax_enabled:
+            return
+        from cedar_tpu.ops import lines2
+
+        out = []
+        for i, lev in enumerate(self.levels):
+            spec = tuple(self.specs[i])
+            repl = {}
+            for axis, field in (("x", "sor_x"), ("y", "sor_y")):
+                if getattr(lev, field) is None:
+                    continue
+                shape = lev.so.shape[1:]
+                if not lines2.dist_spike_eligible(
+                    shape, spec, self.mesh, self.periodic, axis
+                ):
+                    continue
+                la, ba = (spec if axis == "x" else (spec[1], spec[0]))
+                repl[field] = lines2.setup_lines_spike_dist(
+                    lev.so, self.kinds[i], axis, self.mesh, la, ba
+                )
+            out.append(lev._replace(**repl) if repl else lev)
+        self.levels = tuple(out)
 
     def _put_fine_func(self, a):
         return jax.device_put(

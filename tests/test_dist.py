@@ -176,3 +176,44 @@ def test_line_relax_sharded_along_line_axis(mesh2):
     xd = DistSolver2(so, StencilKind.nine_pt, Config(dict(conf)),
                      mesh2).solve(b)
     np.testing.assert_allclose(np.asarray(xs), np.asarray(xd), atol=1e-10)
+
+
+def test_line_relax_dist_interface_reduction(mesh2):
+    """line-xy with both axes sharded runs the distributed SPIKE
+    (interface-reduction) workspace — the analogue of the reference's
+    one-gather-per-color LineSolve_A/B/C scheme
+    (src/2d/ftn/mpi/BMG2_SymStd_relax_lines_x.f90:156-277) — and agrees
+    with the serial solver."""
+    from cedar_tpu.ops.lines2 import DistSpikeLines
+
+    n = 64
+    so = gallery.diag_diffusion(n, n, 50.0, 1.0)
+    b = gallery.poisson_rhs(n, n)
+    conf = {"log": [], "solver": {"relaxation": "line-xy", "tol": 1e-8,
+                                  "max-iter": 25}}
+    s_ser = Solver2(so, FivePt, Config(dict(conf)))
+    s_dist = DistSolver2(so, FivePt, Config(dict(conf)), mesh2)
+    assert isinstance(s_dist.levels[0].sor_x, DistSpikeLines)
+    assert isinstance(s_dist.levels[0].sor_y, DistSpikeLines)
+    xs = s_ser.solve(b)
+    xd = s_dist.solve(b)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xd), atol=1e-10)
+
+
+def test_ml_relax_disables_dist_interface_reduction(mesh2):
+    """solver.ml-relax.enabled keeps distributed lines on the log-depth
+    algorithm (the reference's "n-level" ml_relax variant) and still
+    matches the serial solve."""
+    from cedar_tpu.ops.lines2 import DistSpikeLines
+
+    n = 64
+    so = gallery.fe(n, n)
+    b = gallery.poisson_rhs(n, n)
+    conf = {"log": [], "solver": {"relaxation": "line-x", "tol": 1e-8,
+                                  "max-iter": 20,
+                                  "ml-relax": {"enabled": True}}}
+    xs = Solver2(so, StencilKind.nine_pt, Config(dict(conf))).solve(b)
+    sd = DistSolver2(so, StencilKind.nine_pt, Config(dict(conf)), mesh2)
+    assert not isinstance(sd.levels[0].sor_x, DistSpikeLines)
+    xd = sd.solve(b)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xd), atol=1e-10)

@@ -52,10 +52,23 @@ def main(n=512):
     local = jax.jit(lambda so, q, b, sor: line_relax_x(
         so, q, b, sor, StencilKind.nine_pt, "down", shard=sh))
 
+    from cedar_tpu.ops.lines2 import setup_lines_spike_dist
+
+    spike_ws = setup_lines_spike_dist(
+        so_s, StencilKind.nine_pt, "x", mesh, "x", "y")
+
+    def spike_fn(so, q, b, sor):
+        del sor
+        return line_relax_x(so, q, b, spike_ws, StencilKind.nine_pt,
+                            "down", shard=sh)
+
+    spike = jax.jit(spike_fn)
+
     print(f"zebra x-line sweep at {n}^2 over mesh {dict(mesh.shape)} "
           f"(line axis sharded {mesh.shape['x']}-way):")
     for name, fn in (("naive PCR (auto-SPMD)", naive),
-                     ("line-local shard_map", local)):
+                     ("line-local shard_map", local),
+                     ("dist SPIKE interface reduction", spike)):
         counts = count(fn)
         coll = {k: v for k, v in counts.items()
                 if v and k != "dynamic-slice"}

@@ -398,8 +398,10 @@ def dist_spike_eligible(shape, spec, mesh, periodic, axis: str):
     if nx % pl_ or nx // pl_ < 4:
         return False
     if ba is not None:
+        # each shard's column count must be even so the zebra parity
+        # split/merge stay shard-local (no layout collectives)
         pb = mesh.shape[ba]
-        if ((ny + 1) // 2) % pb or (ny // 2) % pb:
+        if ny % (2 * pb):
             return False
     return True
 
@@ -460,18 +462,25 @@ def setup_lines_spike_dist(so, kind: StencilKind, axis: str, mesh,
     return DistSpikeLines(one(0), one(1), mesh, line_ax, batch_ax)
 
 
-def _dist_spike_solve(ws: DistSpikeLines, parity: int,
-                      rhs: jnp.ndarray) -> jnp.ndarray:
-    """Solve one color's factored line systems: ONE all_gather of the
-    (2, nb) interface rhs per call (LineSolve_B's MPI_GATHER analogue);
-    the reduced (2P)-row tridiagonal is solved replicated (redundant
-    solve — cheaper than root-solve + scatter on ICI)."""
+def _dist_spike_color(ws: DistSpikeLines, parity: int, so, q, b, kind,
+                      periodic) -> jnp.ndarray:
+    """One color of the distributed interface-reduction sweep.
+
+    The rhs is formed globally (the SPMD partitioner's halo permutes for
+    the cross-line shifts are the analogue of the reference's pre-sweep
+    ghost update); the zebra parity split, block solve, and row merge all
+    run shard-locally, so the ONLY solve collective is the single
+    all_gather of the (2, nb) interface rhs (LineSolve_B's MPI_GATHER
+    analogue).  The reduced (2P)-row tridiagonal is solved replicated
+    (redundant solve — cheaper than root-solve + scatter on ICI)."""
     from jax.sharding import PartitionSpec as _P
 
+    rhs_full = _line_rhs_x(so, q, b, kind, periodic)
     f = ws[parity]
     la, ba = ws.line_ax, ws.batch_ax
 
-    def local(l, dinv, upi, p, q, up0, loL, rlo, rdg, rup, r):
+    def local(l, dinv, upi, p, q_sp, up0, loL, rlo, rdg, rup, rf, q_loc):
+        r = _split_axis(rf, 1)[parity]                    # shard-local
         L = r.shape[0]
         phi = _interior_solve(l, dinv, upi, r[1:L - 1])
         rr = jnp.stack([r[0] - up0[0] * phi[0],
@@ -480,18 +489,19 @@ def _dist_spike_solve(ws: DistSpikeLines, parity: int,
         w = _pcr_solve(rlo, rdg, rup, rr_all)             # (2P, nb)
         i = jax.lax.axis_index(la)
         se = jax.lax.dynamic_slice_in_dim(w, 2 * i, 2, 0)
-        x_int = phi + p * se[0][None] + q * se[1][None]
-        return jnp.concatenate([se[:1], x_int, se[1:2]], axis=0)
+        x_int = phi + p * se[0][None] + q_sp * se[1][None]
+        sol = jnp.concatenate([se[:1], x_int, se[1:2]], axis=0)
+        return _set_rows(q_loc, sol, parity)              # shard-local
 
     sh = _P(la, ba)
     rep = _P(None, ba)
     return jax.shard_map(
         local, mesh=ws.mesh,
-        in_specs=(sh,) * 5 + (sh,) * 2 + (rep,) * 3 + (sh,),
+        in_specs=(sh,) * 5 + (sh,) * 2 + (rep,) * 3 + (sh, sh),
         out_specs=sh,
         check_vma=False,
     )(f.l, f.dinv, f.upi, f.p, f.q, f.up0, f.loL, f.rlo, f.rdg, f.rup,
-      rhs)
+      rhs_full, q)
 
 
 def _local_solve(solve, nargs, shard):
@@ -642,9 +652,7 @@ def line_relax_x(
         # distributed interface reduction: one interface all_gather per
         # color (reference: LineSolve_A/B/C one-gather scheme)
         for parity in order:
-            rhs = _cols(_line_rhs_x(so, q, b, kind, periodic), parity)
-            sol = _dist_spike_solve(sor, parity, rhs)
-            q = _set_rows(q, sol, parity)
+            q = _dist_spike_color(sor, parity, so, q, b, kind, periodic)
         return q
 
     use_pcr = q.shape[0] >= _PCR_MIN_LEN or isinstance(sor, SpikeLines)

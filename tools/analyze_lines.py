@@ -40,11 +40,16 @@ def main(n=512):
     q_s, b_s = jax.device_put(q, sh), jax.device_put(b, sh)
 
     def count(fn):
+        """Count collective INSTRUCTIONS (one per `= op(...)` definition;
+        a bare word-count over the HLO triple-counts via metadata and
+        async start/done pairs)."""
         txt = fn.lower(so_s, q_s, b_s, sor_s).compile().as_text()
         counts = {}
         for op in ("collective-permute", "all-gather", "all-reduce",
                    "all-to-all", "reduce-scatter", "dynamic-slice"):
-            counts[op] = len(re.findall(rf"\b{op}\b", txt))
+            counts[op] = len(
+                re.findall(rf"= \S+ {op}(?:-start)?\(", txt)
+            )
         return counts
 
     naive = jax.jit(lambda so, q, b, sor: line_relax_x(

@@ -217,3 +217,28 @@ def test_ml_relax_disables_dist_interface_reduction(mesh2):
     assert not isinstance(sd.levels[0].sor_x, DistSpikeLines)
     xd = sd.solve(b)
     np.testing.assert_allclose(np.asarray(xs), np.asarray(xd), atol=1e-10)
+
+
+def test_manual_redist_path_end_to_end(mesh2):
+    """redist.search.strategy "manual": the per-level process-grid path
+    (reference: test/2d/mpi/test-cgredist-1.json, path entries map to
+    use/drop of each fixed mesh axis; entries beyond the path length use
+    its last entry, like the reference's terminal [1,1]) controls the
+    level shardings, and the solve matches the serial solver."""
+    n = 64
+    so = gallery.poisson(n, n)
+    b = gallery.poisson_rhs(n, n)
+    conf = {"log": [], "solver": {"tol": 1e-9, "max-iter": 30},
+            "redist": {"search": {"strategy": "manual",
+                                  "path": [[4, 2], [1, 2], [1, 1]]}}}
+    s = DistSolver2(so, FivePt, Config(dict(conf)), mesh2)
+    specs = [tuple(sp) + (None,) * (2 - len(sp)) for sp in s.specs]
+    assert specs[0] == ("x", "y")
+    assert specs[1] == (None, "y")
+    for sp in specs[2:]:
+        assert sp == (None, None)
+    xs = Solver2(so, FivePt, Config({"log": [],
+                                     "solver": {"tol": 1e-9,
+                                                "max-iter": 30}})).solve(b)
+    xd = s.solve(b)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xd), atol=1e-10)

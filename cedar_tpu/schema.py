@@ -77,6 +77,7 @@ SCHEMA: dict[str, Any] = {
     "machine.latency": _NUM,
     "machine.fp_perf": _NUM,
     "machine.hbm-bandwidth": _NUM,
+    "machine.overhead": _NUM,
     "grid.periodic": _LIST,
     "grid.local": _BOOL,
     "grid.n": _LIST,

@@ -206,9 +206,12 @@ def restrict(cip, res2, nc):
 # interp_add: q += P qc (+ res/diag at fine-only points)
 # ---------------------------------------------------------------------------
 
-def _interp_kernel(qc_m, qc_b, ci_m, ci_b, r2_m, rec2_m, parts, *, Tc, W):
-    # full (128-aligned) lane width throughout; the wc+1 shifts are rolls
-    # at aligned width then crops (unaligned lane slices lower pathologically)
+def _interp_parts(qc_m, qc_b, ci_m, ci_b, r2_m, rec2_m, Tc, W):
+    """The four fine parity parts of P·qc (+ res/diag correction).
+
+    Full (128-aligned) lane width throughout; the wc+1 shifts are rolls
+    at aligned width then crops (unaligned lane slices lower
+    pathologically)."""
     qc = jnp.concatenate([qc_m[...], qc_b[...]], axis=0)
     ci = jnp.concatenate([ci_m[...], ci_b[...]], axis=1)
 
@@ -242,10 +245,35 @@ def _interp_kernel(qc_m, qc_b, ci_m, ci_b, r2_m, rec2_m, parts, *, Tc, W):
         + s1lr(ci[L.LSE]) * b1r(qc)
         + r11
     )
+    return part00, part01, part10, part11
+
+
+def _interp_kernel(qc_m, qc_b, ci_m, ci_b, r2_m, rec2_m, parts, *, Tc, W):
+    part00, part01, part10, part11 = _interp_parts(
+        qc_m, qc_b, ci_m, ci_b, r2_m, rec2_m, Tc, W
+    )
     parts[0] = part00
     parts[1] = part01
     parts[2] = part10
     parts[3] = part11
+
+
+def _interp_kernel_split(qc_m, qc_b, ci_m, ci_b, r2_m, rec2_m, q2_m, out,
+                         *, Tc, W):
+    """Split-layout variant: row-interleave the parts in-kernel (a
+    SUBLANE interleave — Mosaic-supported, unlike the lane interleave
+    the dense variant leaves to XLA) and add onto the lane-parity-split
+    q.  Kills the whole merge pass of the dense path."""
+    part00, part01, part10, part11 = _interp_parts(
+        qc_m, qc_b, ci_m, ci_b, r2_m, rec2_m, Tc, W
+    )
+    q2 = q2_m[...]
+
+    def ileave(a, b):
+        return jnp.stack([a, b], axis=1).reshape(2 * Tc, W)
+
+    out[0] = q2[0] + ileave(part00, part10)
+    out[1] = q2[1] + ileave(part01, part11)
 
 
 @jax.jit
@@ -299,3 +327,40 @@ def interp_add(cip, rec2, qc, res2, q):
         2 * W,
     )
     return q + merged[:nx, :ny]
+
+
+@jax.jit
+def interp_add_split(cip, rec2, qc, res2, q2):
+    """``q2 + P qc + res/diag`` on the lane-parity-split fine level.
+
+    ``q2``/``res2`` in the (2, nxp, W) split layout; the parity parts
+    row-interleave IN-KERNEL onto q2 — no XLA merge pass (the dense
+    variant's remaining ~0.7 ms at 4096²)."""
+    _, nxp, W = res2.shape
+    rows = nxp // 2 + _H
+    cols = W + 128
+    qcp = jnp.zeros((rows, cols), qc.dtype)
+    qcp = qcp.at[: qc.shape[0], : qc.shape[1]].set(qc)
+    nyr = cip.shape[2]
+    Tc = _TC
+    nb = nxp // (2 * Tc)
+
+    kernel = functools.partial(_interp_kernel_split, Tc=Tc, W=W)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((Tc, cols), lambda i: (i, 0)),
+            pl.BlockSpec((_H, cols), lambda i: ((i + 1) * (Tc // _H), 0)),
+            pl.BlockSpec((8, Tc, nyr), lambda i: (0, i, 0)),
+            pl.BlockSpec((8, _H, nyr),
+                         lambda i: (0, (i + 1) * (Tc // _H), 0)),
+            pl.BlockSpec((2, 2 * Tc, W), lambda i: (0, i, 0)),
+            pl.BlockSpec((2, 2 * Tc, W), lambda i: (0, i, 0)),
+            pl.BlockSpec((2, 2 * Tc, W), lambda i: (0, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((2, 2 * Tc, W), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((2, nxp, W), qc.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_SCOPED_VMEM),
+        interpret=INTERPRET,
+    )(qcp, qcp, cip, cip, res2, rec2, q2)

@@ -55,6 +55,7 @@ SCHEMA: dict[str, Any] = {
     "cg-config": _CONF,
     "plane-config": _CONF,
     "kernels.backend": (_STR, _BACKENDS),
+    "kernels.fine-split": _BOOL,
     "solver.relaxation": (_STR, _RELAX),
     "solver.cycle.type": (_STR, _CYCLES),
     "solver.cycle.nrelax-pre": _INT,

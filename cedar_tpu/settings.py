@@ -114,6 +114,10 @@ class MLSettings:
     # "xla" | "pallas": resolved from config "kernels.backend" ("auto" picks
     # pallas on TPU) by the solver constructors
     kernel_backend: str = "xla"
+    # fine-level lane-parity-split resident cycle (ops.pallas2_split).
+    # "auto" resolves per backend at solver construction; explicit
+    # true/false forces it on/off for supported shapes.
+    fine_split: bool = False
 
     #: safety backstop on cg-config recursion (the reference recurses until
     #: the process count reaches 1; config nesting is finite in practice)

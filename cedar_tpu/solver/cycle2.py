@@ -133,6 +133,81 @@ def _coarse_solve_inner(coarse, cb, settings: MLSettings, periodic):
     return x
 
 
+def fine_split_ok(levels, settings: MLSettings, constraints) -> bool:
+    """Whether the fine level can run the lane-parity-split resident
+    cycle (pallas2_split): serial, V-cycle, point relaxation with at
+    least one pre- and post-sweep, split stencil + transfer workspaces
+    present (their setup already gated on backend/shape/periodicity)."""
+    return (
+        constraints is None
+        and settings.cycle.value == "v"
+        and settings.relaxation == RelaxType.point
+        and settings.nrelax_pre >= 1
+        and settings.nrelax_post >= 1
+        and len(levels) >= 2
+        and levels[0].so2 is not None
+        and levels[0].rec2 is not None
+        and levels[1].cip is not None
+    )
+
+
+def ncycle_split(
+    levels,
+    kinds,
+    x2: jnp.ndarray,
+    b2: jnp.ndarray,
+    settings: MLSettings,
+    periodic=(False, False),
+    fuse_final_residual: bool = False,
+):
+    """One V-cycle with the FINE level resident in the lane-parity-split
+    layout (2, nxp, W): the fused pre-sweep residual feeds restrict with
+    no lane-split pass, interpolation merges in-kernel onto split q, and
+    (optionally) the last post-sweep fuses the convergence-check residual
+    — zero XLA layout passes at the fine level.  Coarse levels run the
+    standard dense ncycle."""
+    from cedar_tpu.ops import pallas2_split as ps
+    from cedar_tpu.ops import pallas_transfer2 as pt
+
+    lev, kind = levels[0], kinds[0]
+    with scope("relaxation"):
+        for _ in range(settings.nrelax_pre - 1):
+            x2 = ps.point_relax_split(lev.so2, x2, b2, kind, "down")
+    with scope("relaxation-residual-fused"):
+        x2, res2 = ps.point_relax_split(
+            lev.so2, x2, b2, kind, "down", fuse_residual=True
+        )
+    coarse = levels[1]
+    with scope("restrict"):
+        cb = pt.restrict(coarse.cip, res2, coarse.so.shape[1:])
+
+    if len(levels) == 2:
+        with scope("coarse-solve"):
+            if coarse.inner is not None:
+                cx = _coarse_solve_inner(coarse, cb, settings, periodic)
+            else:
+                cx = cg.solve_cg(coarse.ainv, cb)
+    else:
+        cx = ncycle(levels, kinds, 1, jnp.zeros_like(cb), cb, settings,
+                    periodic)
+
+    with scope("interp-add"):
+        x2 = pt.interp_add_split(coarse.cip, lev.rec2, cx, res2, x2)
+
+    post = "up" if settings.relax_symmetric else "down"
+    n_plain = settings.nrelax_post - (1 if fuse_final_residual else 0)
+    with scope("relaxation"):
+        for _ in range(n_plain):
+            x2 = ps.point_relax_split(lev.so2, x2, b2, kind, post)
+    if fuse_final_residual:
+        with scope("relaxation-residual-fused"):
+            x2, res2p = ps.point_relax_split(
+                lev.so2, x2, b2, kind, post, fuse_residual=True
+            )
+        return x2, res2p
+    return x2, None
+
+
 def ncycle(
     levels,
     kinds,
@@ -252,5 +327,18 @@ def run_cycle(levels, kinds, x, b, settings: MLSettings, periodic,
     if settings.cycle.value == "f":
         return fmg_cycle(levels, kinds, 0, b, settings, periodic,
                          constraints)
+    if fine_split_ok(levels, settings, constraints):
+        # standalone-cycle entry pays one split + merge; the solve loop
+        # (solver2._solve_impl) instead keeps q split-resident across
+        # iterations and calls ncycle_split directly
+        from cedar_tpu.ops import pallas2_split as ps
+
+        nx, ny = b.shape
+        nxp, W, _ = ps.split_dims(nx, ny)
+        x2, _ = ncycle_split(
+            levels, kinds, ps.lane_split(x, nxp, W),
+            ps.lane_split(b, nxp, W), settings, periodic,
+        )
+        return ps.lane_merge(x2, nx, ny)
     return ncycle(levels, kinds, 0, x, b, settings, periodic, 1,
                   constraints)

@@ -32,3 +32,5 @@ class Level(NamedTuple):
     #                                           transfer kernels)
     rec2: Optional[jnp.ndarray] = None        # lane-split 1/diag (2D Pallas
     #                                           transfer kernels)
+    so2: Optional[jnp.ndarray] = None         # lane-parity-split stencil
+    #                              (fine-level split-resident Pallas path)

@@ -156,6 +156,25 @@ def setup_hierarchy(
         rec2 = pt.setup_rec2(sos[lvl]) if own_ok else None
         return cip, rec2
 
+    # lane-parity-split stencil for the fine level's split-resident cycle
+    # (pallas2_split): only the FINEST level holds q across the solve in
+    # split layout; coarse levels stay dense
+    def _so2_field(lvl):
+        from cedar_tpu.ops import pallas2_split as ps
+
+        if (
+            lvl != 0
+            or nlevels < 2
+            or not use_pt
+            or not settings.fine_split
+            or settings.relaxation != RelaxType.point
+            or not ps.supported(sos[0].shape[1:], sos[0].dtype)
+            or _is_multidev(sos[0])
+        ):
+            return None
+        nxp, W, _ = ps.split_dims(*sos[0].shape[1:])
+        return ps.split_so(sos[0], kinds[0], nxp, W)
+
     levels = []
     for lvl in range(nlevels):
         if lvl < nlevels - 1:
@@ -165,7 +184,7 @@ def setup_hierarchy(
             cip, rec2 = _pt_fields(lvl)
             levels.append(
                 Level(so=sos[lvl], recip=recip, sor_x=sor_x, sor_y=sor_y,
-                      ci=cis[lvl], cip=cip, rec2=rec2)
+                      ci=cis[lvl], cip=cip, rec2=rec2, so2=_so2_field(lvl))
             )
         else:
             if settings.coarse_solver != CGType.lu and nlevels > 1:
@@ -234,6 +253,10 @@ class Solver2:
             )
             kb = "pallas" if on_tpu else "xla"
         self.settings.kernel_backend = kb
+        # fine-level split-resident cycle: off by default until the
+        # Mosaic lowering is validated on the target hardware generation
+        self.settings.fine_split = bool(conf.get("kernels.fine-split",
+                                                 False))
         per = conf.get("grid.periodic", [False, False])
         self.periodic = (bool(per[0]), bool(per[1]))
         self.indefinite = not conf.get("solver.definite", True)
@@ -281,6 +304,40 @@ class Solver2:
         res0 = jnp.maximum(_l2(r0), jnp.finfo(b.dtype).tiny)
         maxiter = settings.maxiter
         hist0 = jnp.full((maxiter,), jnp.nan, b.dtype)
+        rel0 = jnp.asarray(jnp.inf, b.dtype)
+
+        from cedar_tpu.solver import cycle2
+
+        if cycle2.fine_split_ok(levels, settings, self.constraints):
+            # fine level split-resident across the WHOLE solve: one
+            # lane-split of b and x0 going in, one merge coming out, and
+            # the last post-sweep of each cycle fuses the convergence
+            # residual — zero per-iteration layout or residual passes
+            from cedar_tpu.ops import pallas2_split as ps
+
+            nx, ny = b.shape
+            nxp, W, _ = ps.split_dims(nx, ny)
+            b2 = ps.lane_split(b, nxp, W)
+            x20 = ps.lane_split(x0, nxp, W)
+
+            def cond_s(carry):
+                i, x2, rel, hist = carry
+                return (i < maxiter) & (rel >= settings.tol)
+
+            def body_s(carry):
+                i, x2, rel, hist = carry
+                x2, res2 = cycle2.ncycle_split(
+                    levels, self.kinds, x2, b2, settings, self.periodic,
+                    fuse_final_residual=True,
+                )
+                rel = _l2(res2) / res0
+                hist = hist.at[i].set(rel)
+                return i + 1, x2, rel, hist
+
+            iters, x2, rel, hist = jax.lax.while_loop(
+                cond_s, body_s, (0, x20, rel0, hist0)
+            )
+            return ps.lane_merge(x2, nx, ny), hist, iters, res0
 
         def cond(carry):
             i, x, rel, hist = carry
@@ -297,7 +354,6 @@ class Solver2:
             hist = hist.at[i].set(rel)
             return i + 1, x, rel, hist
 
-        rel0 = jnp.asarray(jnp.inf, b.dtype)
         iters, x, rel, hist = jax.lax.while_loop(
             cond, body, (0, x0, rel0, hist0)
         )

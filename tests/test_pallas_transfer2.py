@@ -69,3 +69,35 @@ def test_supported_gates():
     assert not pt.supported((64, 128), f32)          # too few rows
     assert not pt.supported((4096, 4096), jnp.float64)
     assert not pt.supported((4096, 16384), f32)      # beyond lane budget
+
+
+@pytest.mark.parametrize("nine,nx,ny", [(False, 256, 256), (True, 256, 384)])
+def test_interp_add_split_matches_dense(nine, nx, ny, monkeypatch):
+    """Split-layout interp_add (in-kernel sublane interleave onto the
+    lane-parity-split q) equals the dense hybrid path + merge."""
+    from cedar_tpu.ops import pallas2_split as ps
+
+    monkeypatch.setattr(ps, "INTERPRET", True)
+    from test_kernels_2d import random_so
+
+    rng = np.random.default_rng(23 + nx)
+    so = jnp.asarray(random_so(rng, nx, ny, nine), jnp.float32)
+    kind = StencilKind.nine_pt if nine else StencilKind.five_pt
+    ci = setup_interp(so, kind)
+    nxc, nyc = (nx - 1) // 2 + 1, (ny - 1) // 2 + 1
+    res = jnp.asarray(rng.standard_normal((nx, ny)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((nx, ny)), jnp.float32)
+    qc = jnp.asarray(rng.standard_normal((nxc, nyc)), jnp.float32)
+
+    cip = pt.pad_ci(ci, nx, ny)
+    rec2 = pt.setup_rec2(so)
+    res2 = pt.lane_split_res(res)
+    nxp, W = res2.shape[1], res2.shape[2]
+    q2 = ps.lane_split(q, nxp, W)
+
+    ref = pt.interp_add(cip, rec2, qc, res2, q)
+    got2 = pt.interp_add_split(cip, rec2, qc, res2, q2)
+    got = ps.lane_merge(got2, nx, ny)
+    np.testing.assert_allclose(
+        np.asarray(ref), np.asarray(got), rtol=3e-6, atol=3e-6
+    )

@@ -111,20 +111,43 @@ def main():
     solver = Solver2(so, FivePt, conf)
     jax.block_until_ready(solver.levels)
 
+    from cedar_tpu.solver import cycle2
+
+    # the solve loop keeps the fine level lane-parity-split across
+    # iterations (solver2._solve_impl); chain bench cycles the same way
+    use_split = cycle2.fine_split_ok(
+        solver.levels, solver.settings, solver.constraints
+    )
+    if use_split:
+        from cedar_tpu.ops import pallas2_split as ps
+
+        nxp, W, _ = ps.split_dims(n, n)
+        b_in = ps.lane_split(b, nxp, W)
+        x_in = ps.lane_split(jnp.zeros_like(b), nxp, W)
+
+        def one_cycle(levels, x2, b2):
+            return cycle2.ncycle_split(
+                levels, solver.kinds, x2, b2, solver.settings,
+                solver.periodic,
+            )[0]
+    else:
+        b_in, x_in = b, jnp.zeros_like(b)
+        one_cycle = solver._cycle_impl
+
     @functools.partial(jax.jit, static_argnames=("reps",))
     def run(levels, x, b, reps):
         def body(i, x):
-            return solver._cycle_impl(levels, x, b)
+            return one_cycle(levels, x, b)
 
         return jax.lax.fori_loop(0, reps, body, x)
 
     def total(reps, tries=3):
-        x = run(solver.levels, jnp.zeros_like(b), b, reps)
+        x = run(solver.levels, x_in, b_in, reps)
         float(jnp.sum(x))  # warm-up + force
         best = float("inf")
         for _ in range(tries):
             t0 = time.perf_counter()
-            x = run(solver.levels, jnp.zeros_like(b), b, reps)
+            x = run(solver.levels, x_in, b_in, reps)
             float(jnp.sum(x))
             best = min(best, time.perf_counter() - t0)
         return best

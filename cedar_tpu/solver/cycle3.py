@@ -121,6 +121,20 @@ def _coarse_solve_inner(coarse, cb, settings: MLSettings, periodic):
     return x
 
 
+def fuse_final_ok(levels, kinds, shape, dtype, settings: MLSettings,
+                  periodic, constraints) -> bool:
+    """Whether the top level's last post-sweep can fuse the convergence
+    residual (see cycle2.fuse_final_ok)."""
+    shard = constraints[0] if constraints is not None else None
+    return (
+        settings.cycle.value == "v"
+        and settings.relaxation == RelaxType.point
+        and settings.nrelax_post >= 1
+        and len(levels) >= 2
+        and _use_pallas(settings, kinds[0], shape, dtype, periodic, shard)
+    )
+
+
 def ncycle(
     levels,
     kinds,
@@ -131,8 +145,13 @@ def ncycle(
     periodic=(False, False, False),
     n: int = 1,
     constraints=None,
+    fuse_final_residual: bool = False,
 ):
-    """Recursive n-cycle (n=1: V, n=2: W).  Reference: vcycle.h:57-115."""
+    """Recursive n-cycle (n=1: V, n=2: W).  Reference: vcycle.h:57-115.
+
+    With ``fuse_final_residual`` (top level only; caller checks
+    :func:`fuse_final_ok`), the last post-sweep also emits the residual
+    in the same HBM pass and the return value is ``(x, res)``."""
     lev = levels[lvl]
     kind = kinds[lvl]
     shard = constraints[lvl] if constraints is not None else None
@@ -189,10 +208,17 @@ def ncycle(
     if constraints is not None:
         x = jax.lax.with_sharding_constraint(x, constraints[lvl])
 
+    # nonsymmetric relaxation keeps the forward sweep order for
+    # post-smoothing (reference: IRELAX_SYM, BMG3_SymStd_relax_GS.f90)
+    post = "up" if settings.relax_symmetric else "down"
+    if fuse_final_residual:
+        with scope("relaxation"):
+            x = _nsmooth(lev, kind, x, b, settings, post, periodic,
+                         settings.nrelax_post - 1, shard)
+        with scope("relaxation-residual-fused"):
+            return _pallas_relax(lev, kind, x, b, post, shard,
+                                 fuse_residual=True)
     with scope("relaxation"):
-        # nonsymmetric relaxation keeps the forward sweep order for
-        # post-smoothing (reference: IRELAX_SYM, BMG3_SymStd_relax_GS.f90)
-        post = "up" if settings.relax_symmetric else "down"
         x = _nsmooth(lev, kind, x, b, settings, post, periodic,
                      settings.nrelax_post, shard)
     return x

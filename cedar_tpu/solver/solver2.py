@@ -339,17 +339,31 @@ class Solver2:
             )
             return ps.lane_merge(x2, nx, ny), hist, iters, res0
 
+        # dense path: fuse the convergence residual into the last
+        # post-sweep when the Pallas sweep can emit it (one HBM pass
+        # fewer per iteration; same condition set as run_cycle's dispatch)
+        fuse_conv = cycle2.fuse_final_ok(
+            levels, self.kinds, b.shape, b.dtype, settings, self.periodic,
+            self.constraints,
+        )
+
         def cond(carry):
             i, x, rel, hist = carry
             return (i < maxiter) & (rel >= settings.tol)
 
         def body(carry):
             i, x, rel, hist = carry
-            x = run_cycle(
-                levels, self.kinds, x, b, settings, self.periodic,
-                self.constraints,
-            )
-            r = residual(fine.so, x, b, self.kinds[0], self.periodic)
+            if fuse_conv:
+                x, r = cycle2.ncycle(
+                    levels, self.kinds, 0, x, b, settings, self.periodic,
+                    1, self.constraints, fuse_final_residual=True,
+                )
+            else:
+                x = run_cycle(
+                    levels, self.kinds, x, b, settings, self.periodic,
+                    self.constraints,
+                )
+                r = residual(fine.so, x, b, self.kinds[0], self.periodic)
             rel = _l2(r) / res0
             hist = hist.at[i].set(rel)
             return i + 1, x, rel, hist

@@ -96,15 +96,16 @@ def supported(fine_shape, dtype) -> bool:
 
 def _w_dims(fine_shape):
     """Stored weight-plane extents: the aligned minimum covering the
-    coarse grid — this is the dominant HBM stream, keep it tight."""
+    coarse grid — this is the dominant HBM stream, keep it tight.
+
+    The supported() gate requires aligned fine dims, so the coarse grid
+    is exactly (nxp/2, nyp/2, nzp/2) — no guard columns: consumers that
+    need a +1-shifted read (interp) use zero-masked rolls instead, which
+    is exact because the would-be guard entries are identically zero
+    (weights toward nonexistent high coarse points)."""
     nxp, nyp, nzp = _pad_dims(*fine_shape)
-    nxc = (fine_shape[0] - 1) // 2 + 1
-    nyc = (fine_shape[1] - 1) // 2 + 1
-    nzc = (fine_shape[2] - 1) // 2 + 1
     rows = nxp // 2 + 1
-    ys = max(nyp // 2, -(-(nyc + 1) // 8) * 8)
-    zs = max(nzp // 2, -(-(nzc + 1) // 128) * 128)
-    return rows, ys, zs
+    return rows, nyp // 2, nzp // 2
 
 
 def setup_pw3(ci: jnp.ndarray, fine_shape) -> jnp.ndarray:

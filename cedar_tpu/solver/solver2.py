@@ -253,10 +253,11 @@ class Solver2:
             )
             kb = "pallas" if on_tpu else "xla"
         self.settings.kernel_backend = kb
-        # fine-level split-resident cycle: off by default until the
-        # Mosaic lowering is validated on the target hardware generation
+        # fine-level split-resident cycle: on wherever the Pallas sweeps
+        # run (validated bit-identical vs the XLA backend on v5e; the
+        # further shape/config gates live in cycle2.fine_split_ok)
         self.settings.fine_split = bool(conf.get("kernels.fine-split",
-                                                 False))
+                                                 kb == "pallas"))
         per = conf.get("grid.periodic", [False, False])
         self.periodic = (bool(per[0]), bool(per[1]))
         self.indefinite = not conf.get("solver.definite", True)

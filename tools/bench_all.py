@@ -60,7 +60,25 @@ def main():
     s = Solver2(so, FivePt, Config({
         "log": [], "solver": {"cycle": {"nrelax-pre": 1, "nrelax-post": 1},
                               "max-iter": 4, "tol": 1e-6}}))
-    report("2d_poisson_5pt", n * n, time_cycles(s, b), {"grid": [n, n]})
+    from cedar_tpu.solver import cycle2
+
+    if cycle2.fine_split_ok(s.levels, s.settings, s.constraints):
+        # the solve loop keeps the fine level lane-parity-split across
+        # iterations; chain bench cycles the same way (as bench.py does)
+        from cedar_tpu.ops import pallas2_split as ps
+
+        nxp, W, _ = ps.split_dims(n, n)
+        b2 = ps.lane_split(b, nxp, W)
+        x20 = ps.lane_split(jnp.zeros_like(b), nxp, W)
+        ms = timed_loop(
+            lambda x2, levels, b2: cycle2.ncycle_split(
+                levels, s.kinds, x2, b2, s.settings)[0],
+            x20, s.levels, b2, reps=(8, 40),
+        )
+        dt = ms * 1e-3
+    else:
+        dt = time_cycles(s, b)
+    report("2d_poisson_5pt", n * n, dt, {"grid": [n, n]})
 
     # 2. 2D anisotropic 9pt, line relaxation
     n = 2048

@@ -33,11 +33,20 @@ def main(n=4096):
     res2 = pt.lane_split_res(res)
     qc = jnp.zeros((nc, nc), jnp.float32)
 
-    ms = timed_loop(lambda r: pt.lane_split_res(r)[0] + r[:, ::2] * 0, res)
+    # Carry-chaining pattern: ops whose output shape differs from the
+    # input feed ONE element of the output back into the carry (a
+    # scalar dynamic-update-slice) — chains the loop without an extra
+    # full pass, and the changing carry defeats loop-invariant hoisting.
+    def k_split(r):
+        s = pt.lane_split_res(r)
+        return r.at[0, 0].add((s[0, 0, 0] + s[1, 0, 0]) * 1e-30)
+
+    ms = timed_loop(k_split, res)
     print("lane_split_res   : %7.3f ms" % ms, flush=True)
 
     def k_interp(r2, cip, rec2, qc):
-        return pt._interp_call(cip, rec2, qc, r2)
+        p = pt._interp_call(cip, rec2, qc, r2)
+        return r2.at[0, 0, 0].add(p[0, 0, 0] * 1e-30)
 
     ms = timed_loop(k_interp, res2, cip, rec2, qc)
     print("interp kernel    : %7.3f ms" % ms, flush=True)
@@ -59,9 +68,11 @@ def main(n=4096):
         cip, rec2, qc, r2, q), b, cip, rec2, qc, res2)
     print("interp_add total : %7.3f ms" % ms, flush=True)
 
-    ms = timed_loop(
-        lambda x, cip, r2: pt.restrict(cip, r2, (nc, nc)) + x[:nc, :nc] * 0,
-        b, cip, res2)
+    def k_restrict(r2, cip):
+        out = pt.restrict(cip, r2, (nc, nc))
+        return r2.at[0, 0, 0].add(out[0, 0] * 1e-30)
+
+    ms = timed_loop(k_restrict, res2, cip)
     print("pt.restrict      : %7.3f ms" % ms, flush=True)
 
     ms = timed_loop(

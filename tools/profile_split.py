@@ -59,38 +59,40 @@ def main(n=4096):
     conf_d["kernels"] = {"backend": "pallas"}
     sd = Solver2(so, FivePt, Config(conf_d))
 
-    def dense_cycle(x, b):
-        return cycle2.ncycle(sd.levels, sd.kinds, 0, x, b, sd.settings)
+    # levels must be ARGUMENTS, not closure constants: baked-in arrays
+    # blow the remote-compile request limit (HTTP 413, see NOTES.md)
+    def dense_cycle(x, levels, b):
+        return cycle2.ncycle(levels, sd.kinds, 0, x, b, sd.settings)
 
-    ms = timed_loop(dense_cycle, jnp.zeros_like(b), b)
+    ms = timed_loop(dense_cycle, jnp.zeros_like(b), sd.levels, b)
     print(f"dense cycle        : {ms:7.3f} ms", flush=True)
 
     nxp, W, _ = ps.split_dims(n, n)
     b2 = ps.lane_split(b, nxp, W)
     x20 = ps.lane_split(jnp.zeros_like(b), nxp, W)
 
-    def split_cycle(x2, b2):
-        return cycle2.ncycle_split(s.levels, s.kinds, x2, b2,
+    def split_cycle(x2, levels, b2):
+        return cycle2.ncycle_split(levels, s.kinds, x2, b2,
                                    s.settings)[0]
 
-    ms = timed_loop(split_cycle, x20, b2)
+    ms = timed_loop(split_cycle, x20, s.levels, b2)
     print(f"split cycle        : {ms:7.3f} ms", flush=True)
 
     so2 = s.levels[0].so2
     kind = StencilKind.five_pt
 
-    def sweep(x2, b2):
+    def sweep(x2, so2, b2):
         return ps.point_relax_split(so2, x2, b2, kind, "down")
 
-    ms = timed_loop(sweep, x20, b2)
+    ms = timed_loop(sweep, x20, so2, b2)
     print(f"split sweep        : {ms:7.3f} ms", flush=True)
 
-    def sweep_res(x2, b2):
+    def sweep_res(x2, so2, b2):
         q, r = ps.point_relax_split(so2, x2, b2, kind, "down",
                                     fuse_residual=True)
         return q + r  # keep both live
 
-    ms = timed_loop(sweep_res, x20, b2)
+    ms = timed_loop(sweep_res, x20, so2, b2)
     print(f"split sweep+res    : {ms:7.3f} ms", flush=True)
 
     coarse = s.levels[1]
@@ -98,20 +100,20 @@ def main(n=4096):
     rng = np.random.default_rng(0)
     qc = jnp.asarray(rng.standard_normal((nxc, nyc)), jnp.float32)
 
-    def iadd(x2, qc, b2):
-        return pt.interp_add_split(coarse.cip, s.levels[0].rec2, qc, b2,
-                                   x2)
+    def iadd(x2, cip, rec2, qc, b2):
+        return pt.interp_add_split(cip, rec2, qc, b2, x2)
 
-    ms = timed_loop(iadd, x20, qc, b2)
+    ms = timed_loop(iadd, x20, coarse.cip, s.levels[0].rec2, qc, b2)
     print(f"split interp_add   : {ms:7.3f} ms", flush=True)
 
     # dense comparison ops
     res2 = pt.lane_split_res(jnp.zeros_like(b) + 1.0)
 
-    def iadd_dense(x, qc, res2):
-        return pt.interp_add(coarse.cip, s.levels[0].rec2, qc, res2, x)
+    def iadd_dense(x, cip, rec2, qc, res2):
+        return pt.interp_add(cip, rec2, qc, res2, x)
 
-    ms = timed_loop(iadd_dense, jnp.zeros_like(b), qc, res2)
+    ms = timed_loop(iadd_dense, jnp.zeros_like(b), coarse.cip,
+                    s.levels[0].rec2, qc, res2)
     print(f"dense interp_add   : {ms:7.3f} ms", flush=True)
 
 

@@ -406,30 +406,47 @@ def _point_relax_call(so, q, b, kind, updown, nz, lo, hi, H, Tx,
 
 def _tile2d_for(kind: StencilKind, nz: int, nx: int, ny: int,
                 dtype_bytes: int = 4):
-    """(Tx, Ty, HX, HY) under the VMEM budget, or None."""
+    """(Tx, Ty, HX, HY) minimizing modeled HBM traffic per sweep, or None.
+
+    HX/HY are both the halo extent and the halo-stream block size; any
+    HX >= the sweep's dependency depth (phases + 1) is correct — the extra
+    window rows are redundant compute discarded by the output slice — so
+    the search may round HX up when an exact-fit tile wins on traffic.
+    Exact fits matter: a tile that does not divide (nx, ny) forces XLA
+    pad+unpad passes around every call (measured 2x sweep cost at 256^3,
+    tools/probe_sweep3.py: planner tile (30,72) 190 GB/s eff vs the
+    exact-fit (32,64) at 412 GB/s)."""
     if kind == StencilKind.seven_pt:
-        HX, HY, ncpl, nd = 3, 8, 6, 4
+        need, HY, ncpl, nd = 3, 8, 6, 4
     else:
-        HX, HY, ncpl, nd = 9, 16, 26, 14
+        need, HY, ncpl, nd = 9, 16, 26, 14
     cellb = nz * dtype_bytes
     cells = _VMEM_BUDGET // cellb
     per = 2 * (nd + 2) + (nd + 2) + 2 * ncpl + 8
     wmax = cells // per
-    # pick Ty (8-quantized), then Tx (HX-quantized)
+    nstream = nd + 2          # stencil dirs + q + b read streams
     best = None
-    for ty in range(8, max(ny, 8) + 1, 8):
-        tx = (wmax // (ty + 2 * HY) - 2 * HX) // HX * HX
-        if tx < HX:
+    for HX in sorted({need, -(-need // 4) * 4, -(-need // 8) * 8, 16}):
+        if HX < need:
             continue
-        tx = min(tx, -(-nx // HX) * HX)
-        ty2 = min(ty, -(-ny // 8) * 8)
-        eff = (tx * ty2) / float((tx + 2 * HX) * (ty2 + 2 * HY))
-        if best is None or eff > best[0]:
-            best = (eff, tx, ty2)
+        for Tx in range(HX, min(nx + HX, 512) + 1, HX):
+            nxp = -(-nx // Tx) * Tx
+            for Ty in range(HY, min(ny + HY, 512) + 1, HY):
+                if (Tx + 2 * HX) * (Ty + 2 * HY) > wmax:
+                    break   # window grows with Ty
+                nyp = -(-ny // Ty) * Ty
+                refetch = ((Tx + 2 * HX) * (Ty + 2 * HY)) / float(Tx * Ty)
+                cellsp = nxp * nyp
+                traffic = cellsp * (nstream * refetch + 1.0)
+                if cellsp != nx * ny:
+                    # q pad + unpad each call, so/b pads amortized
+                    traffic += 3.0 * cellsp
+                if best is None or traffic < best[0]:
+                    best = (traffic, Tx, Ty, HX)
     if best is None:
         return None
-    _, tx, ty = best
-    return tx, ty, HX, HY
+    _, Tx, Ty, HX = best
+    return Tx, Ty, HX, HY
 
 
 def _sweep2d_kernel(
@@ -540,6 +557,9 @@ def _point_relax2d_call(so, q, b, kind, updown, lo, hi, tile,
     ndir = so.shape[0]
     Tx, Ty, HX, HY = tile
     assert nxp % Tx == 0 and nyp % Ty == 0
+    # halo streams are HX/HY-row blocks of the same arrays: tile sizes
+    # must be block-size multiples or the index maps fetch wrong rows
+    assert Tx % HX == 0 and Ty % HY == 0
     dtype = q.dtype
     if origin is None:
         origin = jnp.zeros((3,), jnp.int32)

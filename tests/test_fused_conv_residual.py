@@ -26,11 +26,12 @@ ON_TPU = _on_tpu()
 
 
 def test_fused_conv_residual_2d(monkeypatch):
-    from cedar_tpu.ops import pallas2, pallas_transfer2 as pt
+    from cedar_tpu.ops import pallas2, pallas2_split, pallas_transfer2 as pt
     from cedar_tpu.solver import cycle2
 
     if not ON_TPU:
         monkeypatch.setattr(pallas2, "INTERPRET", True)
+        monkeypatch.setattr(pallas2_split, "INTERPRET", True)
         monkeypatch.setattr(pt, "INTERPRET", True)
     n = 256
     so = jnp.asarray(np.asarray(gallery.poisson(n, n)), jnp.float32)

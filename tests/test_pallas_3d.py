@@ -149,3 +149,29 @@ def test_pallas3_2d_tiled_path(monkeypatch):
     ref_res = residual(so, ref, b, kind)
     np.testing.assert_allclose(np.asarray(ref_res), np.asarray(res),
                                atol=1e-4)
+
+
+def test_pallas3_2d_tiled_rounded_halo(monkeypatch):
+    """HX rounded above the dependency depth (alignment-driven planner
+    choice, e.g. (32, 64, 4, 8) at 256^3): extra window rows must be
+    redundant-but-correct."""
+    if not ON_TPU:
+        monkeypatch.setattr(pallas3, "INTERPRET", True)
+    monkeypatch.setattr(pallas3, "_tile2d_for",
+                        lambda *a, **k: (8, 16, 4, 8))
+    n = (24, 16, 40)
+    kind = StencilKind.seven_pt
+    rng = np.random.default_rng(29)
+    from test_kernels_3d import random_so
+
+    so = jnp.asarray(random_so(rng, *n, False), jnp.float32)
+    q = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    rec = setup_recip(so)
+    origin = jnp.zeros((3,), jnp.int32)
+    for updown in ("down", "up"):
+        ref = relax_xla(so, q, b, rec, kind, updown)
+        got = pallas3._point_relax_2d_tiled(so, q, b, kind, updown, False,
+                                            origin)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   atol=1e-5)

@@ -66,11 +66,26 @@ def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic,
             return _pallas_relax(lev, kind, x, b, updown, shard)
         return point_relax(lev.so, x, b, lev.recip, kind, updown, periodic)
 
+    def _pl_lines(axis):
+        """Fused Pallas zebra sweep eligibility for this level/axis."""
+        if settings.kernel_backend != "pallas" or shard is not None:
+            return False
+        from cedar_tpu.ops import pallas_lines2
+        sh = x.shape if axis == "x" else (x.shape[1], x.shape[0])
+        per = periodic if axis == "x" else (periodic[1], periodic[0])
+        return pallas_lines2.supported(sh, x.dtype, kind, per)
+
     def lx(x):
+        if _pl_lines("x"):
+            from cedar_tpu.ops import pallas_lines2
+            return pallas_lines2.line_relax_x(lev.so, x, b, kind, updown)
         return line_relax_x(lev.so, x, b, lev.sor_x, kind, updown,
                             periodic, shard)
 
     def ly(x):
+        if _pl_lines("y"):
+            from cedar_tpu.ops import pallas_lines2
+            return pallas_lines2.line_relax_y(lev.so, x, b, kind, updown)
         return line_relax_y(lev.so, x, b, lev.sor_y, kind, updown,
                             periodic, shard)
 

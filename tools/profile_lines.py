@@ -61,18 +61,32 @@ def main(n=2048):
         z, so, b, spk_y)
     print("line_relax_y sweep     : %7.3f ms" % ms, flush=True)
 
-    for relax in ("line-x", "line-xy"):
-        conf = Config({"log": [], "solver": {
-            "relaxation": relax,
-            "cycle": {"nrelax-pre": 1, "nrelax-post": 1},
-            "max-iter": 2, "tol": 1e-6}})
-        s = Solver2(so, kind, conf)
+    from cedar_tpu.ops import pallas_lines2 as pla
 
-        ms = timed_loop(
-            lambda x, levels, b: s._cycle_impl(levels, x, b),
-            z, s.levels, b)
-        print("V(1,1) %-8s cycle  : %7.3f ms  (%.0f MDOF/s)"
-              % (relax, ms, n * n / ms / 1e3), flush=True)
+    ms = timed_loop(
+        lambda q, so, b: pla.line_relax_x(so, q, b, kind, "down"),
+        z, so, b)
+    print("fused pallas x sweep   : %7.3f ms" % ms, flush=True)
+
+    ms = timed_loop(
+        lambda q, so, b: pla.line_relax_y(so, q, b, kind, "down"),
+        z, so, b)
+    print("fused pallas y sweep   : %7.3f ms" % ms, flush=True)
+
+    for relax in ("line-x", "line-xy"):
+        for backend in ("xla", "pallas"):
+            conf = Config({"log": [], "kernels": {"backend": backend},
+                           "solver": {
+                "relaxation": relax,
+                "cycle": {"nrelax-pre": 1, "nrelax-post": 1},
+                "max-iter": 2, "tol": 1e-6}})
+            s = Solver2(so, kind, conf)
+
+            ms = timed_loop(
+                lambda x, levels, b: s._cycle_impl(levels, x, b),
+                z, s.levels, b)
+            print("V(1,1) %-8s %-6s : %7.3f ms  (%.0f MDOF/s)"
+                  % (relax, backend, ms, n * n / ms / 1e3), flush=True)
 
 
 if __name__ == "__main__":

@@ -67,8 +67,11 @@ def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic,
         return point_relax(lev.so, x, b, lev.recip, kind, updown, periodic)
 
     def _pl_lines(axis):
-        """Fused Pallas zebra sweep eligibility for this level/axis."""
-        if settings.kernel_backend != "pallas" or shard is not None:
+        """Fused Pallas zebra sweep eligibility for this level/axis.
+        ml-relax.enabled is an explicit algorithm selection (log-depth
+        PCR): honor it over the fused kernel."""
+        if (settings.kernel_backend != "pallas" or shard is not None
+                or settings.ml_relax_enabled):
             return False
         from cedar_tpu.ops import pallas_lines2
         sh = x.shape if axis == "x" else (x.shape[1], x.shape[0])

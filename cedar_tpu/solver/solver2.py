@@ -89,6 +89,20 @@ def setup_level_workspace(so, kind, settings, periodic):
     recip = _recip_j(so) if point else None
 
     def sor(axis, n_line, per_line):
+        # fused Pallas zebra sweeps are setup-free (factored on the fly):
+        # skip the workspace entirely when that path will run
+        if (settings.kernel_backend == "pallas"
+                and not settings.ml_relax_enabled
+                and not _is_multidev(so)):
+            from cedar_tpu.ops import pallas_lines2
+
+            shape = (so.shape[1], so.shape[2])
+            per = tuple(periodic)
+            if axis == "y":
+                shape = (shape[1], shape[0])
+                per = (per[1], per[0])
+            if pallas_lines2.supported(shape, so.dtype, kind, per):
+                return None
         # long serial lines: cached interface-reduction (SPIKE) factors —
         # one operand pass per solve instead of PCR's log2(n) passes.
         # Distributed levels keep the LDLᵀ array (the line solves run

@@ -152,6 +152,12 @@ class MLSettings:
 
         s.relax_symmetric = conf.get("solver.relax-symmetric", True)
 
+        # explicit backend in a (possibly nested) config; "auto" resolves
+        # at solver construction (device-dependent), so leave the default
+        kb = conf.get("kernels.backend", None)
+        if kb in ("xla", "pallas"):
+            s.kernel_backend = kb
+
         s.ml_relax_enabled = conf.get("solver.ml-relax.enabled", False)
         s.ml_relax_min_gsz = conf.get("solver.ml-relax.min-gsz", 3)
         s.ml_relax_factorize = conf.get("solver.ml-relax.factorize", True)

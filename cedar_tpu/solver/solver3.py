@@ -166,6 +166,10 @@ class Solver3:
             )
             kb = "pallas" if on_tpu else "xla"
         self.settings.kernel_backend = kb
+        # embedded plane solvers KEEP the XLA backend unless plane-config
+        # pins one: vmapped Mosaic kernels work (tools/probe_vmap_pallas.py)
+        # but measured SLOWER at plane scale (128^3 plane-xy 16.8 -> 24.9 ms
+        # — per-call overhead dominates the small batched grids)
         per = conf.get("grid.periodic", [False, False, False])
         while len(per) < 3:
             per = list(per) + [False]

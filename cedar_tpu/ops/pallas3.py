@@ -286,11 +286,13 @@ def point_relax(so, q, b, rec, updown, fuse_residual=False, origin=None,
     return qF[:nx, :k].reshape(nx, ny, nz)
 
 
-def _point_relax_2d_tiled(so, q, b, kind, updown, fuse_residual, origin):
+def _point_relax_2d_tiled(so, q, b, kind, updown, fuse_residual, origin,
+                          tile=None):
     """Dispatch to the 2D-tiled pipelined kernel (pads to tile multiples)."""
     nx, ny, nz = q.shape
     nzp = -(-nz // 128) * 128
-    tile = _tile2d_for(kind, nzp, nx, ny)
+    if tile is None:
+        tile = _tile2d_for(kind, nzp, nx, ny)
     if tile is None:
         raise ValueError(
             "no feasible pallas plan for this shape "
@@ -417,12 +419,16 @@ def _tile2d_for(kind: StencilKind, nz: int, nx: int, ny: int,
     tools/probe_sweep3.py: planner tile (30,72) 190 GB/s eff vs the
     exact-fit (32,64) at 412 GB/s)."""
     if kind == StencilKind.seven_pt:
-        need, HY, ncpl, nd = 3, 8, 6, 4
+        # per calibrated on v5e: (64,64,4,8) at 256^3 compiles (window
+        # 5760 cells), (64,128) does not (10080) — tools/probe_sweep3.py
+        need, HY, per = 3, 8, 26
     else:
-        need, HY, ncpl, nd = 9, 16, 26, 14
+        # (32,32,16,16) at 128^3 compiles (4096), (32,64) does not
+        # (6144) — tools/probe_sweep27.py
+        need, HY, per = 9, 16, 60
+    nd = _ndir(kind)
     cellb = nz * dtype_bytes
     cells = _VMEM_BUDGET // cellb
-    per = 2 * (nd + 2) + (nd + 2) + 2 * ncpl + 8
     wmax = cells // per
     nstream = nd + 2          # stencil dirs + q + b read streams
     best = None
@@ -439,8 +445,10 @@ def _tile2d_for(kind: StencilKind, nz: int, nx: int, ny: int,
                 cellsp = nxp * nyp
                 traffic = cellsp * (nstream * refetch + 1.0)
                 if cellsp != nx * ny:
-                    # q pad + unpad each call, so/b pads amortized
-                    traffic += 3.0 * cellsp
+                    # XLA pad + unpad passes around the call: measured to
+                    # dominate any refetch advantage (tools/probe_sweep27:
+                    # every padded tile ~1.9-2.1 ms vs 1.1 exact at 128^3)
+                    traffic += (nstream + 2.0) * cellsp
                 if best is None or traffic < best[0]:
                     best = (traffic, Tx, Ty, HX)
     if best is None:

@@ -56,6 +56,7 @@ SCHEMA: dict[str, Any] = {
     "plane-config": _CONF,
     "kernels.backend": (_STR, _BACKENDS),
     "kernels.fine-split": _BOOL,
+    "kernels.split-levels": _INT,
     "solver.relaxation": (_STR, _RELAX),
     "solver.cycle.type": (_STR, _CYCLES),
     "solver.cycle.nrelax-pre": _INT,

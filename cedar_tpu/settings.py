@@ -118,6 +118,9 @@ class MLSettings:
     # "auto" resolves per backend at solver construction; explicit
     # true/false forces it on/off for supported shapes.
     fine_split: bool = False
+    # how many top levels stay lane-parity-split resident (>=1 when
+    # fine_split; resolved from "kernels.split-levels")
+    split_levels: int = 1
 
     #: safety backstop on cg-config recursion (the reference recurses until
     #: the process count reaches 1; config nesting is finite in practice)

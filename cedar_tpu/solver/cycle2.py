@@ -169,6 +169,18 @@ def fine_split_ok(levels, settings: MLSettings, constraints) -> bool:
     )
 
 
+def _split_ok_at(levels, lvl) -> bool:
+    """Level ``lvl`` can run split-resident: split stencil present (setup
+    gated on backend/shape/relaxation) and its coarse level has the
+    transfer workspace."""
+    return (
+        lvl < len(levels) - 1
+        and levels[lvl].so2 is not None
+        and levels[lvl].rec2 is not None
+        and levels[lvl + 1].cip is not None
+    )
+
+
 def ncycle_split(
     levels,
     kinds,
@@ -177,17 +189,19 @@ def ncycle_split(
     settings: MLSettings,
     periodic=(False, False),
     fuse_final_residual: bool = False,
+    lvl: int = 0,
 ):
-    """One V-cycle with the FINE level resident in the lane-parity-split
+    """One V-cycle with the top level(s) resident in the lane-parity-split
     layout (2, nxp, W): the fused pre-sweep residual feeds restrict with
     no lane-split pass, interpolation merges in-kernel onto split q, and
-    (optionally) the last post-sweep fuses the convergence-check residual
-    — zero XLA layout passes at the fine level.  Coarse levels run the
-    standard dense ncycle."""
+    (optionally) the top level's last post-sweep fuses the
+    convergence-check residual — zero XLA layout passes on split levels.
+    Recurses into the next level split-resident too when its workspaces
+    exist (kernels.split-levels); deeper levels run the dense ncycle."""
     from cedar_tpu.ops import pallas2_split as ps
     from cedar_tpu.ops import pallas_transfer2 as pt
 
-    lev, kind = levels[0], kinds[0]
+    lev, kind = levels[lvl], kinds[lvl]
     with scope("relaxation"):
         for _ in range(settings.nrelax_pre - 1):
             x2 = ps.point_relax_split(lev.so2, x2, b2, kind, "down")
@@ -195,19 +209,26 @@ def ncycle_split(
         x2, res2 = ps.point_relax_split(
             lev.so2, x2, b2, kind, "down", fuse_residual=True
         )
-    coarse = levels[1]
+    coarse = levels[lvl + 1]
+    cshape = coarse.so.shape[1:]
     with scope("restrict"):
-        cb = pt.restrict(coarse.cip, res2, coarse.so.shape[1:])
+        cb = pt.restrict(coarse.cip, res2, cshape)
 
-    if len(levels) == 2:
+    if lvl + 1 == len(levels) - 1:
         with scope("coarse-solve"):
             if coarse.inner is not None:
                 cx = _coarse_solve_inner(coarse, cb, settings, periodic)
             else:
                 cx = cg.solve_cg(coarse.ainv, cb)
+    elif _split_ok_at(levels, lvl + 1):
+        nxp, W, _ = ps.split_dims(*cshape)
+        cb2 = ps.lane_split(cb, nxp, W)
+        cx2, _ = ncycle_split(levels, kinds, jnp.zeros_like(cb2), cb2,
+                              settings, periodic, False, lvl + 1)
+        cx = ps.lane_merge(cx2, *cshape)
     else:
-        cx = ncycle(levels, kinds, 1, jnp.zeros_like(cb), cb, settings,
-                    periodic)
+        cx = ncycle(levels, kinds, lvl + 1, jnp.zeros_like(cb), cb,
+                    settings, periodic)
 
     with scope("interp-add"):
         x2 = pt.interp_add_split(coarse.cip, lev.rec2, cx, res2, x2)

@@ -170,24 +170,24 @@ def setup_hierarchy(
         rec2 = pt.setup_rec2(sos[lvl]) if own_ok else None
         return cip, rec2
 
-    # lane-parity-split stencil for the fine level's split-resident cycle
-    # (pallas2_split): only the FINEST level holds q across the solve in
-    # split layout; coarse levels stay dense
+    # lane-parity-split stencil for the split-resident cycle
+    # (pallas2_split): the top ``split_levels`` levels run their sweeps
+    # and transfers in split layout; deeper levels stay dense
     def _so2_field(lvl):
         from cedar_tpu.ops import pallas2_split as ps
 
         if (
-            lvl != 0
-            or nlevels < 2
+            lvl >= max(getattr(settings, "split_levels", 1), 1)
+            or lvl >= nlevels - 1
             or not use_pt
             or not settings.fine_split
             or settings.relaxation != RelaxType.point
-            or not ps.supported(sos[0].shape[1:], sos[0].dtype)
-            or _is_multidev(sos[0])
+            or not ps.supported(sos[lvl].shape[1:], sos[lvl].dtype)
+            or _is_multidev(sos[lvl])
         ):
             return None
-        nxp, W, _ = ps.split_dims(*sos[0].shape[1:])
-        return ps.split_so(sos[0], kinds[0], nxp, W)
+        nxp, W, _ = ps.split_dims(*sos[lvl].shape[1:])
+        return ps.split_so(sos[lvl], kinds[lvl], nxp, W)
 
     levels = []
     for lvl in range(nlevels):
@@ -272,6 +272,7 @@ class Solver2:
         # further shape/config gates live in cycle2.fine_split_ok)
         self.settings.fine_split = bool(conf.get("kernels.fine-split",
                                                  kb == "pallas"))
+        self.settings.split_levels = int(conf.get("kernels.split-levels", 1))
         per = conf.get("grid.periodic", [False, False])
         self.periodic = (bool(per[0]), bool(per[1]))
         self.indefinite = not conf.get("solver.definite", True)

@@ -138,3 +138,35 @@ def test_solver_split_resident_path_matches_xla(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(v_xla), np.asarray(v_pal), atol=1e-5
     )
+
+
+def test_split_levels_2_solver_equivalence(monkeypatch):
+    """kernels.split-levels 2: the L1-split-resident cycle must match the
+    XLA backend solve."""
+    import numpy as np
+    from cedar_tpu import FivePt, Solver2, gallery
+    from cedar_tpu.config import Config
+    from cedar_tpu.ops import pallas2, pallas2_split, pallas_transfer2
+
+    if not ON_TPU:
+        monkeypatch.setattr(pallas2, "INTERPRET", True)
+        monkeypatch.setattr(pallas2_split, "INTERPRET", True)
+        monkeypatch.setattr(pallas_transfer2, "INTERPRET", True)
+    n = 256
+    so = jnp.asarray(np.asarray(gallery.poisson(n, n)), jnp.float32)
+    b = jnp.asarray(np.asarray(gallery.poisson_rhs(n, n)), jnp.float32)
+    conf = {"log": [], "solver": {"tol": 1e-5, "max-iter": 4}}
+
+    s_xla = Solver2(so, FivePt, Config(dict(conf)))
+    x_xla = s_xla.solve(b)
+
+    pconf = dict(conf)
+    pconf["kernels"] = {"backend": "pallas", "split-levels": 2}
+    s_pal = Solver2(so, FivePt, Config(pconf))
+    assert s_pal.levels[1].so2 is not None
+    x_pal = s_pal.solve(b)
+
+    np.testing.assert_allclose(np.asarray(x_xla), np.asarray(x_pal),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_xla.history),
+                               np.asarray(s_pal.history), rtol=1e-3)

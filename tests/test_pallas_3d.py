@@ -175,3 +175,28 @@ def test_pallas3_2d_tiled_rounded_halo(monkeypatch):
                                             origin)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                    atol=1e-5)
+
+
+def test_pallas3_2d_tiled_27pt_rounded_halo(monkeypatch):
+    """27-pt 2D-tiled path with the halo block rounded above the 8-color
+    dependency depth (e.g. the exact-fit (32,32,16,16) tile at 128^3)."""
+    if not ON_TPU:
+        monkeypatch.setattr(pallas3, "INTERPRET", True)
+    monkeypatch.setattr(pallas3, "_tile2d_for",
+                        lambda *a, **k: (16, 16, 16, 16))
+    n = (32, 32, 40)
+    kind = StencilKind.twenty_seven_pt
+    rng = np.random.default_rng(31)
+    from test_kernels_3d import random_so
+
+    so = jnp.asarray(random_so(rng, *n, True), jnp.float32)
+    q = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    rec = setup_recip(so)
+    origin = jnp.zeros((3,), jnp.int32)
+    for updown in ("down", "up"):
+        ref = relax_xla(so, q, b, rec, kind, updown)
+        got = pallas3._point_relax_2d_tiled(so, q, b, kind, updown, False,
+                                            origin)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   atol=1e-4)

@@ -144,7 +144,7 @@ def _sweep_kernel(
     o_m, w_m, s_m, s_r, sw_m, sw_r, nw_m, nw_r,
     b_m, q_m, q_l, q_r,
     out_m,
-    *, kind, Ty, nx, ny, h_solve,
+    *, kind, Ty, nx, ny, h_solve, lny,
 ):
     F = Ty + 2 * _HALO
     j = pl.program_id(0)
@@ -185,15 +185,20 @@ def _sweep_kernel(
     sol = _solve_all_lines(lo, o_m[...], up, rhs, h_solve)
 
     gl = jax.lax.broadcasted_iota(jnp.int32, (nx, Ty), 1) + j * Ty
+    if lny != ny:
+        # flattened plane batch: zebra parity is per-plane-local
+        gl = gl - (gl // lny) * lny
     active = ((gl + meta_ref[0]) % 2) == meta_ref[1]
     out_m[...] = jnp.where(active, sol, q_m[...])
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kind", "Ty", "h_solve"))
-def _color_call(so, q, b, kind, parity, Ty, h_solve=_H_SOLVE, origin=None):
+    jax.jit, static_argnames=("kind", "Ty", "h_solve", "lny"))
+def _color_call(so, q, b, kind, parity, Ty, h_solve=_H_SOLVE, origin=None,
+                lny=None):
     """``parity`` and ``origin`` are DYNAMIC (traced) so one Mosaic
-    compile serves both zebra colors and any global anchoring."""
+    compile serves both zebra colors and any global anchoring; ``lny``
+    is the per-plane lane period for flattened plane batches."""
     nx, nyp = q.shape
     assert nyp % Ty == 0 and Ty % _HALO == 0
     if origin is None:
@@ -233,6 +238,7 @@ def _color_call(so, q, b, kind, parity, Ty, h_solve=_H_SOLVE, origin=None):
     kernel = functools.partial(
         _sweep_kernel, kind=kind, Ty=Ty,
         nx=nx, ny=nyp, h_solve=h_solve,
+        lny=nyp if lny is None else lny,
     )
     out = pl.pallas_call(
         kernel,
@@ -258,12 +264,13 @@ def _h_for(nx: int) -> int:
     return _H_SOLVE if nx >= 2 * _H_SOLVE else 8
 
 
-def line_relax_x(so, q, b, kind, updown, origin=None):
+def _line_relax_x_impl(so, q, b, kind, updown, origin=None, lny=None):
     """One full zebra x-line sweep (both colors) via the fused kernel.
 
     Callers gate on :func:`supported`; ny is padded to the lane-tile
     multiple here (pad lanes solve inert identity lines and are never
-    merged back)."""
+    merged back).  ``lny``: per-plane lane period when ``q`` is a
+    flattened plane batch (zebra parity is then plane-local)."""
     nx, ny = q.shape
     nxp = -(-nx // 8) * 8           # Mosaic sublane block quantum
     Ty = _tile_lanes(nxp, ny, kind)
@@ -281,8 +288,51 @@ def line_relax_x(so, q, b, kind, updown, origin=None):
     order = (1, 0) if updown == "down" else (0, 1)
     for parity in order:
         qp = _color_call(sop, qp, bp, kind, parity, Ty,
-                         h_solve=_h_for(nxp), origin=origin)
+                         h_solve=_h_for(nxp), origin=origin, lny=lny)
     return qp[:nx, :ny] if (nxp, nyp) != (nx, ny) else qp
+
+
+@functools.lru_cache(maxsize=None)
+def _vmap_core(kind, updown):
+    """custom_vmap entry: a batched call (the vmapped plane cycles,
+    ops/planes3.py) flattens the plane batch into lanes and runs ONE
+    kernel per color instead of one small grid program per plane.
+    Correct because each plane's operator stores ZERO couplings on its
+    own boundary (interior-only convention), so lane rolls cannot leak
+    across plane boundaries, and the in-kernel parity mask uses the
+    per-plane lane period ``lny``."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def core(so, q, b):
+        return _line_relax_x_impl(so, q, b, kind, updown)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, so, q, b):
+        def bc(a, batched):
+            return a if batched else jnp.broadcast_to(
+                a, (axis_size,) + a.shape)
+
+        so_b = bc(so, in_batched[0])
+        q_b = bc(q, in_batched[1])
+        b_b = bc(b, in_batched[2])
+        B, ndir, nx, ny = so_b.shape
+        so_f = jnp.moveaxis(so_b, 0, 2).reshape(ndir, nx, B * ny)
+        q_f = jnp.moveaxis(q_b, 0, 1).reshape(nx, B * ny)
+        b_f = jnp.moveaxis(b_b, 0, 1).reshape(nx, B * ny)
+        out = _line_relax_x_impl(so_f, q_f, b_f, kind, updown, lny=ny)
+        out_b = jnp.moveaxis(out.reshape(nx, B, ny), 1, 0)
+        return out_b, True
+
+    return core
+
+
+def line_relax_x(so, q, b, kind, updown, origin=None):
+    """One full zebra x-line sweep (both colors); batch-aware (see
+    :func:`_vmap_core`)."""
+    if origin is not None:
+        return _line_relax_x_impl(so, q, b, kind, updown, origin=origin)
+    return _vmap_core(kind, updown)(so, q, b)
 
 
 def line_relax_y(so, q, b, kind, updown, origin=None):

@@ -114,3 +114,29 @@ def test_line_solver_backend_equivalence(relax, monkeypatch):
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(s_xla.history),
                                np.asarray(s_pal.history), rtol=3e-2)
+
+
+@pytest.mark.parametrize("ny", [16, 13])
+def test_fused_lines_vmap_flattens(ny, monkeypatch):
+    """vmapped fused line sweeps (the plane-relax batch path) flatten the
+    batch into lanes; zebra parity must stay plane-local (odd ny!)."""
+    if not ON_TPU:
+        monkeypatch.setattr(pla, "INTERPRET", True)
+    B, nx = 5, 24
+    rng = np.random.default_rng(17 + ny)
+    from test_kernels_2d import random_so
+
+    sos = jnp.asarray(
+        np.stack([random_so(rng, nx, ny, False) for _ in range(B)]),
+        jnp.float32)
+    qs = jnp.asarray(rng.standard_normal((B, nx, ny)), jnp.float32)
+    bs = jnp.asarray(rng.standard_normal((B, nx, ny)), jnp.float32)
+    kind = StencilKind.five_pt
+    got = jax.vmap(
+        lambda so, q, b: pla.line_relax_x(so, q, b, kind, "down")
+    )(sos, qs, bs)
+    for i in range(B):
+        sor = lines2.setup_lines(sos[i], kind, "x")
+        ref = lines2.line_relax_x(sos[i], qs[i], bs[i], sor, kind, "down")
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got[i]),
+                                   atol=2e-4, rtol=1e-4)

@@ -272,7 +272,10 @@ class Solver2:
         # further shape/config gates live in cycle2.fine_split_ok)
         self.settings.fine_split = bool(conf.get("kernels.fine-split",
                                                  kb == "pallas"))
-        self.settings.split_levels = int(conf.get("kernels.split-levels", 1))
+        # measured plateau at depth 4 on v5e (4096^2: 3.71/3.38/3.21/3.16
+        # ms for 1/2/3/4; 6 ≈ 4) — deeper levels fail ps.supported and
+        # fall back to dense automatically
+        self.settings.split_levels = int(conf.get("kernels.split-levels", 4))
         per = conf.get("grid.periodic", [False, False])
         self.periodic = (bool(per[0]), bool(per[1]))
         self.indefinite = not conf.get("solver.definite", True)

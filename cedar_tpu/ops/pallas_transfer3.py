@@ -13,11 +13,14 @@ chosen per shape to fit VMEM and halo blocks are single rows (x-rows are
 leading dims — no tile granularity).
 
 Only RESTRICTION is implemented here.  A matching interp_add kernel was
-built and measured slower than the XLA path (5.4 vs 1.5 ms at 257^3 f32):
-interpolation re-reads the same padded weight stream but XLA's fused
-formulation already sits near the padded-traffic floor, and the extra
-parity-merge passes put the Pallas variant behind — so interp_add stays
-on XLA (:func:`cedar_tpu.ops.interp3.interp_add`).  Restriction measured
+built twice and measured no better than the XLA path both times: 5.4 vs
+1.5 ms at 257^3 f32 (padded weight stream ~2x + parity merges), and in
+round 2 a rebuilt split-consuming variant (same res4 input as restrict,
+rec4 = split 1/diag, parity pieces merged by one fused XLA pass) at the
+ALIGNED 256^3 shape: 1.27 vs 1.22 ms — XLA's fused formulation is
+already at this op's practical floor (the 27-plane coarse weight stream
+dominates either way).  interp_add stays on XLA
+(:func:`cedar_tpu.ops.interp3.interp_add`).  Restriction measured
 2.7 ms (XLA) -> 1.3 ms here at 257^3 f32.
 
 Math is exactly :func:`cedar_tpu.ops.interp3.restrict` (reference:

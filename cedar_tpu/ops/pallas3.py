@@ -249,6 +249,7 @@ def point_relax(so, q, b, rec, updown, fuse_residual=False, origin=None,
     supported shapes (non-periodic).  The flattened-lane pad region is
     inert by construction (zero couplings, unit diagonal)."""
     del rec
+    serial_origin = origin is None
     if origin is None:
         origin = jnp.zeros((3,), jnp.int32)
     nx, ny, nz = q.shape
@@ -257,7 +258,8 @@ def point_relax(so, q, b, rec, updown, fuse_residual=False, origin=None,
     plan = _plan(kind, kp, updown, fuse_residual, nx)
     if plan is None or nx < 2 * plan[0][2]:
         return _point_relax_2d_tiled(so, q, b, kind, updown,
-                                     fuse_residual, origin)
+                                     fuse_residual, origin,
+                                     serial_origin=serial_origin)
     Tx = plan[0][3]
     nxp = -(-nx // Tx) * Tx
 
@@ -287,8 +289,13 @@ def point_relax(so, q, b, rec, updown, fuse_residual=False, origin=None,
 
 
 def _point_relax_2d_tiled(so, q, b, kind, updown, fuse_residual, origin,
-                          tile=None):
-    """Dispatch to the 2D-tiled pipelined kernel (pads to tile multiples)."""
+                          tile=None, serial_origin=False):
+    """Dispatch to the 2D-tiled pipelined kernel (pads to tile multiples).
+
+    ``serial_origin``: the caller guarantees a zero global-index origin —
+    enables the x-parity-split phase loop for the 27-point sweep (halved
+    per-phase compute; piece index == global x parity needs even row
+    anchoring)."""
     nx, ny, nz = q.shape
     nzp = -(-nz // 128) * 128
     if tile is None:
@@ -310,8 +317,14 @@ def _point_relax_2d_tiled(so, q, b, kind, updown, fuse_residual, origin,
         so = so.at[Dir3.P, :, :, nz:].set(1.0)
         q = jnp.pad(q, pw)
         b = jnp.pad(b, pw)
+    xsplit = (
+        serial_origin
+        and kind == StencilKind.twenty_seven_pt
+        and Tx % 2 == 0
+        and HX % 2 == 0
+    )
     out = _point_relax2d_call(so, q, b, kind, updown, 0, nph, tile,
-                              fuse_residual, origin)
+                              fuse_residual, origin, xsplit=xsplit)
     if fuse_residual:
         return out[0][:nx, :ny, :nz], out[1][:nx, :ny, :nz]
     return out[:nx, :ny, :nz]
@@ -464,6 +477,7 @@ def _sweep2d_kernel(
     q_m, q_xt, q_xb, q_yl, q_yr, q_c00, q_c01, q_c10, q_c11,
     out_m, res_m,
     *, kind, updown, Tx, Ty, HX, HY, nx, ny, nz, lo, hi, fuse_residual,
+    xsplit=False,
 ):
     Rx = Tx + 2 * HX
     Ry = Ty + 2 * HY
@@ -544,23 +558,101 @@ def _sweep2d_kernel(
 
     diag = so[Dir3.P]
     rec = 1.0 / diag
-    for ph in range(lo, hi):
-        mask = _phase_mask(kind, updown, ph, x1, y1, z1)
-        upd = (b + offdiag(q)) * rec
-        q = jnp.where(mask, upd, q)
 
-    out_m[...] = q[HX : HX + Tx, HY : HY + Ty]
+    if not xsplit:
+        for ph in range(lo, hi):
+            mask = _phase_mask(kind, updown, ph, x1, y1, z1)
+            upd = (b + offdiag(q)) * rec
+            q = jnp.where(mask, upd, q)
+
+        out_m[...] = q[HX : HX + Tx, HY : HY + Ty]
+        if fuse_residual:
+            res = b + offdiag(q) - diag * q
+            res_m[...] = res[HX : HX + Tx, HY : HY + Ty]
+        return
+
+    # ---- x-parity-split phase loop (27-pt, serial anchoring) ----------
+    # Each 8-color phase updates ONE x parity: splitting the window rows
+    # by parity halves the per-phase offdiag compute (the updated piece
+    # is dense in x) at full lane utilization.  Requires even window row
+    # origin (Tx, HX even; serial zero origin) so piece index == global
+    # x parity.
+    Rx2 = Rx // 2
+
+    def spl(a):
+        r = a.reshape(Rx2, 2, a.shape[1], a.shape[2])
+        return r[:, 0], r[:, 1]
+
+    so_sp = [spl(so[d]) for d in range(so.shape[0])]
+    b_sp = spl(b)
+    q_sp = list(spl(q))
+    rec_sp = spl(rec)
+    diag_sp = spl(diag)
+    iy = jax.lax.broadcasted_iota(jnp.int32, (Rx2, Ry, nz), 1)
+    iz = jax.lax.broadcasted_iota(jnp.int32, (Rx2, Ry, nz), 2)
+    ir = jax.lax.broadcasted_iota(jnp.int32, (Rx2, Ry, nz), 0)
+    y1s = (orig_ref[1] + y0 + iy) % 2
+    z1s = (orig_ref[2] + iz) % 2
+    hiy_s = (y0 + iy) < (ny - 1)
+    hix_s = [(x0 + 2 * ir + P) < (nx - 1) for P in (0, 1)]
+
+    def coupling_sp(off, P):
+        plane, sh = table[off]
+        sx, sy, sz = sh
+        pc = (P + sx) % 2
+        rc = (sx + P - pc) // 2
+        c = so_sp[plane][pc]
+        if rc or sy or sz:
+            c = shift3z(c, rc, sy, sz)
+        if off[0] > 0:
+            c = jnp.where(hix_s[P], c, zero)
+        if off[1] > 0:
+            c = jnp.where(hiy_s, c, zero)
+        return c
+
+    def offdiag_sp(P):
+        acc = None
+        for off in table:
+            dx = off[0]
+            pn = (P + dx) % 2
+            rq = (dx + P - pn) // 2
+            nb = q_sp[pn]
+            if rq or off[1] or off[2]:
+                nb = roll3(nb, rq, off[1], off[2])
+            term = coupling_sp(off, P) * nb
+            acc = term if acc is None else acc + term
+        return acc
+
+    pts_order = list(range(1, 9) if updown == "up" else range(8, 0, -1))
+    for ph in range(lo, hi):
+        pts = pts_order[ph]
+        px = (pts - 1) % 2
+        py = ((pts - 1) // 2) % 2
+        pz = ((pts - 1) // 4) % 2
+        mask = (y1s == py) & (z1s == pz)
+        upd = (b_sp[px] + offdiag_sp(px)) * rec_sp[px]
+        q_sp[px] = jnp.where(mask, upd, q_sp[px])
+
+    def ileave(ev, od):
+        return jnp.stack([ev, od], axis=1).reshape(Rx, Ry, nz)
+
+    q_out = ileave(q_sp[0], q_sp[1])
+    out_m[...] = q_out[HX : HX + Tx, HY : HY + Ty]
     if fuse_residual:
-        res = b + offdiag(q) - diag * q
+        res = ileave(
+            b_sp[0] + offdiag_sp(0) - diag_sp[0] * q_sp[0],
+            b_sp[1] + offdiag_sp(1) - diag_sp[1] * q_sp[1],
+        )
         res_m[...] = res[HX : HX + Tx, HY : HY + Ty]
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "updown", "lo", "hi", "tile", "fuse_residual"),
+    static_argnames=("kind", "updown", "lo", "hi", "tile", "fuse_residual",
+                     "xsplit"),
 )
 def _point_relax2d_call(so, q, b, kind, updown, lo, hi, tile,
-                        fuse_residual=False, origin=None):
+                        fuse_residual=False, origin=None, xsplit=False):
     nxp, nyp, nz = q.shape
     ndir = so.shape[0]
     Tx, Ty, HX, HY = tile
@@ -568,6 +660,7 @@ def _point_relax2d_call(so, q, b, kind, updown, lo, hi, tile,
     # halo streams are HX/HY-row blocks of the same arrays: tile sizes
     # must be block-size multiples or the index maps fetch wrong rows
     assert Tx % HX == 0 and Ty % HY == 0
+    assert not xsplit or (Tx % 2 == 0 and HX % 2 == 0)
     dtype = q.dtype
     if origin is None:
         origin = jnp.zeros((3,), jnp.int32)
@@ -576,6 +669,7 @@ def _point_relax2d_call(so, q, b, kind, updown, lo, hi, tile,
         _sweep2d_kernel,
         kind=kind, updown=updown, Tx=Tx, Ty=Ty, HX=HX, HY=HY,
         nx=nxp, ny=nyp, nz=nz, lo=lo, hi=hi, fuse_residual=fuse_residual,
+        xsplit=xsplit,
     )
     out_shapes = [
         jax.ShapeDtypeStruct((nxp, nyp, nz), dtype),

@@ -200,3 +200,35 @@ def test_pallas3_2d_tiled_27pt_rounded_halo(monkeypatch):
                                             origin)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                    atol=1e-4)
+
+
+def test_pallas3_2d_tiled_27pt_xsplit(monkeypatch):
+    """x-parity-split phase loop (serial 27-pt) == XLA sweep, including
+    the fused residual."""
+    if not ON_TPU:
+        monkeypatch.setattr(pallas3, "INTERPRET", True)
+    monkeypatch.setattr(pallas3, "_tile2d_for",
+                        lambda *a, **k: (16, 16, 16, 16))
+    n = (32, 32, 40)
+    kind = StencilKind.twenty_seven_pt
+    rng = np.random.default_rng(37)
+    from test_kernels_3d import random_so
+
+    so = jnp.asarray(random_so(rng, *n, True), jnp.float32)
+    q = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    rec = setup_recip(so)
+    for updown in ("down", "up"):
+        ref = relax_xla(so, q, b, rec, kind, updown)
+        got = pallas3._point_relax_2d_tiled(
+            so, q, b, kind, updown, False, None, serial_origin=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   atol=1e-4)
+    ref = relax_xla(so, q, b, rec, kind, "down")
+    got, res = pallas3._point_relax_2d_tiled(
+        so, q, b, kind, "down", True, None, serial_origin=True)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=1e-4)
+    from cedar_tpu.ops.stencil3 import residual
+    ref_res = residual(so, ref, b, kind)
+    np.testing.assert_allclose(np.asarray(ref_res), np.asarray(res),
+                               atol=1e-3)

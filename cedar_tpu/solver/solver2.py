@@ -110,11 +110,15 @@ def setup_level_workspace(so, kind, settings, periodic):
         # solver.ml-relax.enabled forces the log-depth (PCR) algorithm —
         # the reference's "n-level" line relax (ml_relax.h) analogue.
         if (
-            n_line >= 64
+            n_line >= 16
             and not per_line
             and not _is_multidev(so)
             and not settings.ml_relax_enabled
         ):
+            # threshold 16 (was 64): sequential Thomas at line length 63
+            # is 126 scan steps vs SPIKE's ~17 — on TPU the step LATENCY
+            # dominates, and the vmapped plane hierarchies hit 63/31-long
+            # lines on every embedded level
             return _lines_spike_j(so, kind=kind, axis=axis)
         return _lines_j(so, kind=kind, axis=axis)
 

@@ -75,6 +75,18 @@ def _place_level(lev, mesh, spec):
     })
 
 
+def _resolve_backend_for_mesh(conf: Config, mesh) -> None:
+    """Resolve kernels.backend "auto" against the MESH devices.
+
+    The base solvers resolve "auto" by the default device, but a
+    distributed solver runs where its mesh lives — e.g. the virtual CPU
+    pool while a (tunnel) TPU is the default device.  Mosaic kernels
+    cannot execute on CPU, so pin the backend before setup."""
+    if conf.get("kernels.backend", "auto") == "auto":
+        plat = next(iter(mesh.devices.flat)).platform
+        conf.set("kernels.backend", "pallas" if plat == "tpu" else "xla")
+
+
 class _DistMixin:
     """Sharding plumbing shared by the 2D/3D distributed solvers."""
 
@@ -191,6 +203,7 @@ class DistSolver2(_DistMixin, Solver2):
         if not isinstance(conf, Config):
             conf = Config(conf)
         so, mesh = self._shard_fine(so, conf, mesh)
+        _resolve_backend_for_mesh(conf, mesh)
         super().__init__(so, kind, conf)
         self._dist_init(conf, mesh)
         self._apply_policy()
@@ -205,6 +218,7 @@ class DistSolver3(_DistMixin, Solver3):
         if not isinstance(conf, Config):
             conf = Config(conf)
         so, mesh = self._shard_fine(so, conf, mesh)
+        _resolve_backend_for_mesh(conf, mesh)
         super().__init__(so, kind, conf)
         self._dist_init(conf, mesh)
         self._apply_policy()

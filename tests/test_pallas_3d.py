@@ -232,3 +232,28 @@ def test_pallas3_2d_tiled_27pt_xsplit(monkeypatch):
     ref_res = residual(so, ref, b, kind)
     np.testing.assert_allclose(np.asarray(ref_res), np.asarray(res),
                                atol=1e-3)
+
+
+def test_tile_planner_consistency():
+    """Planner invariants across a shape sweep: tiles divide evenly into
+    halo blocks, windows stay under the calibrated VMEM boundary, and
+    the benchmark shapes get exact-fit tiles (no pad passes)."""
+    f32 = jnp.float32
+    for kind, per in ((StencilKind.seven_pt, 26),
+                      (StencilKind.twenty_seven_pt, 60)):
+        need = 3 if kind == StencilKind.seven_pt else 9
+        for n in (64, 96, 100, 126, 127, 128, 192, 200, 254, 256):
+            nzp = -(-n // 128) * 128
+            tile = pallas3._tile2d_for(kind, nzp, n, n)
+            if tile is None:
+                continue
+            Tx, Ty, HX, HY = tile
+            assert Tx % HX == 0 and Ty % HY == 0
+            assert HX >= need
+            cells = pallas3._VMEM_BUDGET // (nzp * 4)
+            assert (Tx + 2 * HX) * (Ty + 2 * HY) <= cells // per
+    # exact fits at the benchmark shapes
+    assert pallas3._tile2d_for(StencilKind.seven_pt, 256, 256, 256)[:2] \
+        == (32, 64)
+    t = pallas3._tile2d_for(StencilKind.twenty_seven_pt, 128, 128, 128)
+    assert 128 % t[0] == 0 and 128 % t[1] == 0

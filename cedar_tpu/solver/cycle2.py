@@ -97,6 +97,17 @@ def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic,
     if rt == RelaxType.line_y:
         return ly(x)
     if rt == RelaxType.line_xy:
+        if (settings.kernel_backend == "pallas" and shard is None
+                and not settings.ml_relax_enabled):
+            from cedar_tpu.ops import pallas_lines2, pallas_planes2
+            if (pallas_planes2.supported(x.shape, x.dtype, kind, periodic)
+                    and pallas_lines2.supported(x.shape, x.dtype, kind,
+                                                periodic)):
+                # under vmap (plane relax) the whole smooth runs as ONE
+                # VMEM-resident kernel over plane-batch tiles; unbatched
+                # it composes the per-axis fused kernels
+                return pallas_planes2.line_xy_smooth(lev.so, x, b, kind,
+                                                     updown)
         if updown == "down":
             return ly(lx(x))
         return lx(ly(x))

@@ -166,10 +166,19 @@ class Solver3:
             )
             kb = "pallas" if on_tpu else "xla"
         self.settings.kernel_backend = kb
-        # embedded plane solvers KEEP the XLA backend unless plane-config
-        # pins one: vmapped Mosaic kernels work (tools/probe_vmap_pallas.py)
-        # but measured SLOWER at plane scale (128^3 plane-xy 16.8 -> 24.9 ms
-        # — per-call overhead dominates the small batched grids)
+        # embedded plane solvers inherit the resolved backend unless their
+        # plane-config pins one: with the fused batched line-xy smooth
+        # (ops/pallas_planes2.py) the pallas plane path measures 14.3 vs
+        # 16.5 ms at 128^3 plane-xy (per-sweep vmapped Mosaic alone was
+        # SLOWER, 24.9 ms — the whole-smooth kernel is what flips it)
+        ps = self.settings.plane_settings
+        if ps is not None:
+            pconf = conf.getconf("plane-config")
+            explicit = (pconf is not None
+                        and pconf.get("kernels.backend", None)
+                        in ("xla", "pallas"))
+            if not explicit:
+                ps.kernel_backend = kb
         per = conf.get("grid.periodic", [False, False, False])
         while len(per) < 3:
             per = list(per) + [False]

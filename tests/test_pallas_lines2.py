@@ -93,7 +93,9 @@ def test_line_solver_backend_equivalence(relax, monkeypatch):
     from cedar_tpu.config import Config
 
     if not ON_TPU:
+        from cedar_tpu.ops import pallas_planes2
         monkeypatch.setattr(pla, "INTERPRET", True)
+        monkeypatch.setattr(pallas_planes2, "INTERPRET", True)
     n = 64
     so = gallery.diag_diffusion(n, n, 1.0, 0.01, dtype=jnp.float32)
     b = gallery.poisson_rhs(n, n, dtype=jnp.float32)

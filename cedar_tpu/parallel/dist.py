@@ -213,6 +213,9 @@ class DistSolver3(_DistMixin, Solver3):
     """3D BoxMG block-partitioned over a 3-axis device mesh."""
 
     _ndim = 3
+    # Mosaic under the SPMD partitioner is unvalidated on multi-chip
+    # hardware: embedded plane solvers stay on XLA
+    _dist_planes_xla = True
 
     def __init__(self, so, kind=StencilKind.seven_pt, conf=None, mesh=None):
         if not isinstance(conf, Config):

@@ -143,6 +143,9 @@ class Solver3:
     conf : Config | dict | None — Cedar-compatible configuration
     """
 
+    # distributed subclasses pin the embedded plane solvers to XLA
+    _dist_planes_xla = False
+
     def __init__(
         self,
         so: jnp.ndarray,
@@ -170,7 +173,10 @@ class Solver3:
         # plane-config pins one: with the fused batched line-xy smooth
         # (ops/pallas_planes2.py) the pallas plane path measures 14.3 vs
         # 16.5 ms at 128^3 plane-xy (per-sweep vmapped Mosaic alone was
-        # SLOWER, 24.9 ms — the whole-smooth kernel is what flips it)
+        # SLOWER, 24.9 ms — the whole-smooth kernel is what flips it).
+        # DISTRIBUTED solvers (subclasses set _dist_planes_xla) keep XLA
+        # embedded cycles: Mosaic under the SPMD partitioner is
+        # unvalidated on real multi-chip hardware.
         ps = self.settings.plane_settings
         if ps is not None:
             pconf = conf.getconf("plane-config")
@@ -178,7 +184,9 @@ class Solver3:
                         and pconf.get("kernels.backend", None)
                         in ("xla", "pallas"))
             if not explicit:
-                ps.kernel_backend = kb
+                ps.kernel_backend = (
+                    "xla" if self._dist_planes_xla else kb
+                )
         per = conf.get("grid.periodic", [False, False, False])
         while len(per) < 3:
             per = list(per) + [False]

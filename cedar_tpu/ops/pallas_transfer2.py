@@ -329,6 +329,249 @@ def interp_add(cip, rec2, qc, res2, q):
     return q + merged[:nx, :ny]
 
 
+# ---------------------------------------------------------------------------
+# fused interp_add + post-smooth (+ optional residual), split layout
+# ---------------------------------------------------------------------------
+
+def _interp_sweep_kernel(
+    qc_t, qc_m, qc_b, ci_t, ci_m, ci_b, r2_t, r2_m, r2_b,
+    so_t, so_m, so_b, b_t, b_m, b_b, q_t, q_m, q_b,
+    out_m, res_m,
+    *, kind, updown, T, nx, W, fuse_residual,
+):
+    """One slab of ``interp_add`` followed by a full multicolor sweep.
+
+    The separate kernels cost an extra write+read of the whole q plus a
+    streamed 1/diag copy; here the interpolated iterate never leaves
+    VMEM.  Validity accounting (window = mid T rows + H-row halos, same
+    scheme as the sweep kernels): the interpolation parts are valid on
+    every window row whose coarse reads exist (interior blocks: all of
+    them; edge blocks: the clamped-duplicate halo rows are garbage but
+    every read into them is annihilated by the stored-zero boundary
+    couplings, exactly as in the plain sweep kernel); each color phase
+    then shrinks validity by one row — 4 phases + residual = 5 ≤ H = 8.
+    Bit-identical to ``interp_add_split`` + ``point_relax_split``."""
+    from cedar_tpu.core.types import StencilKind
+    from cedar_tpu.ops.pallas2_split import (
+        _offdiag_split, _split_couplings,
+    )
+    from cedar_tpu.ops.pallas2 import _color_order
+
+    nine = kind != StencilKind.five_pt
+    H = _H
+    R = T + 2 * H
+    RT = R // 2
+    i = pl.program_id(0)
+
+    qc = jnp.concatenate([qc_t[...], qc_m[...], qc_b[...]], axis=0)
+    ci = jnp.concatenate([ci_t[...], ci_m[...], ci_b[...]], axis=1)
+    r2 = jnp.concatenate([r2_t[...], r2_m[...], r2_b[...]], axis=1)
+    so = jnp.concatenate([so_t[...], so_m[...], so_b[...]], axis=2)
+    b = jnp.concatenate([b_t[...], b_m[...], b_b[...]], axis=1)
+    q = jnp.concatenate([q_t[...], q_m[...], q_b[...]], axis=1)
+
+    # 1/diag in-kernel (identical f32 values to the setup-built rec2 —
+    # saves that whole input stream)
+    rec = [1.0 / so[Dir2.O, 0], 1.0 / so[Dir2.O, 1]]
+
+    # -- interpolation parts over the WHOLE window -----------------------
+    # window fine row pair k <-> global coarse row i*Tc - H/2 + k, which
+    # sits at index k + H/2 of the coarse window (starting at i*Tc - H)
+    h2 = H // 2
+
+    def b0(a):
+        return a[h2 : h2 + RT, :W]
+
+    def b1r(a):
+        return a[h2 + 1 : h2 + 1 + RT, :W]
+
+    def s1l(a):
+        return _shl(a[h2 : h2 + RT])[:, :W]
+
+    def s1lr(a):
+        return _shl(a[h2 + 1 : h2 + 1 + RT])[:, :W]
+
+    E0, E1 = _row_split(r2[0])
+    O0, O1 = _row_split(r2[1])
+    rE0, rE1 = _row_split(rec[0])
+    rO0, rO1 = _row_split(rec[1])
+    r01 = O0 * rO0
+    r10 = E1 * rE1
+    r11 = O1 * rO1
+
+    part00 = b0(qc)
+    part01 = s1l(ci[L.LA]) * s1l(qc) + s1l(ci[L.LB]) * b0(qc) + r01
+    part10 = b1r(ci[L.LR]) * b1r(qc) + b1r(ci[L.LL]) * b0(qc) + r10
+    part11 = (
+        s1lr(ci[L.LSW]) * b0(qc)
+        + s1lr(ci[L.LNW]) * s1l(qc)
+        + s1lr(ci[L.LNE]) * s1lr(qc)
+        + s1lr(ci[L.LSE]) * b1r(qc)
+        + r11
+    )
+
+    def ileave(a, bb):
+        return jnp.stack([a, bb], axis=1).reshape(R, W)
+
+    q_planes = [q[0] + ileave(part00, part10),
+                q[1] + ileave(part01, part11)]
+    b_planes = [b[0], b[1]]
+
+    # -- multicolor sweep (same algebra as _sweep_kernel_split) ----------
+    row0 = i * T - H
+    gi = row0 + jax.lax.broadcasted_iota(jnp.int32, (R, W), 0)
+    himask = gi < (nx - 1)
+
+    cpl = _split_couplings(so[:, 0], so[:, 1], nine)
+    zero = jnp.zeros((), so.dtype)
+    for p in (0, 1):
+        cpl[p] = {
+            off: ((jnp.where(himask, c, zero), ps, dl) if off[0] > 0
+                  else (c, ps, dl))
+            for off, (c, ps, dl) in cpl[p].items()
+        }
+
+    for color in _color_order(kind, updown):
+        if nine:
+            cw, cz = color
+            p = cw
+            mask = (gi % 2) == cz
+            upd = (b_planes[p] + _offdiag_split(cpl[p], q_planes)) * rec[p]
+            q_planes[p] = jnp.where(mask, upd, q_planes[p])
+        else:
+            for p in (0, 1):
+                mask = ((gi + p) % 2) == color
+                upd = (b_planes[p]
+                       + _offdiag_split(cpl[p], q_planes)) * rec[p]
+                q_planes[p] = jnp.where(mask, upd, q_planes[p])
+
+    out = jnp.stack(q_planes)
+    out_m[...] = out[:, H : H + T]
+    if fuse_residual:
+        res = jnp.stack([
+            b_planes[p] + _offdiag_split(cpl[p], q_planes)
+            - so[Dir2.O, p] * q_planes[p]
+            for p in (0, 1)
+        ])
+        res_m[...] = res[:, H : H + T]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("kind", "updown", "fuse_residual")
+)
+def interp_sweep_split(cip, qc, res2, so2, b2, q2, kind, updown,
+                       fuse_residual=False):
+    """``q2 + P qc + res/diag`` then one multicolor sweep, fused.
+
+    Replaces :func:`interp_add_split` + ``pallas2_split.point_relax_split``
+    in the split-resident cycle: saves the intermediate q write+read AND
+    the rec2 stream (1/diag is recomputed from so2 in-kernel).  With
+    ``fuse_residual`` also emits ``b - A q`` of the post-sweep iterate
+    (the solve loop's convergence residual).  Serial, non-periodic.
+    Reference semantics: BMG2_SymStd_interp_add.f90:101-137 followed by
+    BMG2_SymStd_relax_GS.f90:89-137."""
+    _, nxp, W = res2.shape
+    ndir = so2.shape[0]
+    rows = nxp // 2 + _H
+    cols = W + 128
+    qcp = jnp.zeros((rows, cols), qc.dtype)
+    qcp = qcp.at[: qc.shape[0], : qc.shape[1]].set(qc)
+    nyr = cip.shape[2]
+    T = 2 * _TC
+    assert nxp % T == 0 and W % 128 == 0
+    nb = nxp // T
+    tb = T // 8
+    nbf = nxp // 8 - 1          # highest fine 8-row block index
+    nbq = rows // 8 - 1         # highest coarse 8-row block index
+    cb = _TC // 8               # coarse mid block, in 8-row units
+
+    kernel = functools.partial(
+        _interp_sweep_kernel, kind=kind, updown=updown, T=T, nx=nxp, W=W,
+        fuse_residual=fuse_residual,
+    )
+
+    def cmid2(i):
+        return (i, 0)
+
+    def ctop2(i):
+        return (jnp.maximum(i * cb - 1, 0), 0)
+
+    def cbot2(i):
+        return (jnp.minimum((i + 1) * cb, nbq), 0)
+
+    def cmid3(i):
+        return (0, i, 0)
+
+    def ctop3(i):
+        return (0, jnp.maximum(i * cb - 1, 0), 0)
+
+    def cbot3(i):
+        return (0, jnp.minimum((i + 1) * cb, nbq), 0)
+
+    def fmid(i):
+        return (0, i, 0)
+
+    def ftop(i):
+        return (0, jnp.maximum(i * tb - 1, 0), 0)
+
+    def fbot(i):
+        return (0, jnp.minimum((i + 1) * tb, nbf), 0)
+
+    def fmid4(i):
+        return (0, 0, i, 0)
+
+    def ftop4(i):
+        return (0, 0, jnp.maximum(i * tb - 1, 0), 0)
+
+    def fbot4(i):
+        return (0, 0, jnp.minimum((i + 1) * tb, nbf), 0)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((2, nxp, W), q2.dtype),
+        jax.ShapeDtypeStruct(
+            (2, nxp, W) if fuse_residual else (2, 8, 128), q2.dtype
+        ),
+    ]
+    q_out, res = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((_H, cols), ctop2),
+            pl.BlockSpec((_TC, cols), cmid2),
+            pl.BlockSpec((_H, cols), cbot2),
+            pl.BlockSpec((8, _H, nyr), ctop3),
+            pl.BlockSpec((8, _TC, nyr), cmid3),
+            pl.BlockSpec((8, _H, nyr), cbot3),
+            pl.BlockSpec((2, _H, W), ftop),
+            pl.BlockSpec((2, T, W), fmid),
+            pl.BlockSpec((2, _H, W), fbot),
+            pl.BlockSpec((ndir, 2, _H, W), ftop4),
+            pl.BlockSpec((ndir, 2, T, W), fmid4),
+            pl.BlockSpec((ndir, 2, _H, W), fbot4),
+            pl.BlockSpec((2, _H, W), ftop),
+            pl.BlockSpec((2, T, W), fmid),
+            pl.BlockSpec((2, _H, W), fbot),
+            pl.BlockSpec((2, _H, W), ftop),
+            pl.BlockSpec((2, T, W), fmid),
+            pl.BlockSpec((2, _H, W), fbot),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, T, W), fmid),
+            pl.BlockSpec((2, T, W), fmid) if fuse_residual
+            else pl.BlockSpec((2, 8, 128), lambda i: (0, 0, 0)),
+        ],
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        interpret=INTERPRET,
+    )(qcp, qcp, qcp, cip, cip, cip, res2, res2, res2,
+      so2, so2, so2, b2, b2, b2, q2, q2, q2)
+    if fuse_residual:
+        return q_out, res
+    return q_out
+
+
 @jax.jit
 def interp_add_split(cip, rec2, qc, res2, q2):
     """``q2 + P qc + res/diag`` on the lane-parity-split fine level.

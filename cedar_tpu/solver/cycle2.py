@@ -241,20 +241,34 @@ def ncycle_split(
         cx = ncycle(levels, kinds, lvl + 1, jnp.zeros_like(cb), cb,
                     settings, periodic)
 
+    post = "up" if settings.relax_symmetric else "down"
+    if settings.nrelax_post >= 1:
+        # fused interp_add + first post-sweep (+ the convergence residual
+        # when that sweep is the last): the interpolated iterate never
+        # leaves VMEM and the 1/diag stream is recomputed in-kernel
+        fuse_here = fuse_final_residual and settings.nrelax_post == 1
+        with scope("interp-add-relax-fused"):
+            out = pt.interp_sweep_split(
+                coarse.cip, cx, res2, lev.so2, b2, x2, kind, post,
+                fuse_residual=fuse_here,
+            )
+        if fuse_here:
+            return out
+        x2 = out
+        n_plain = (settings.nrelax_post - 1
+                   - (1 if fuse_final_residual else 0))
+        with scope("relaxation"):
+            for _ in range(n_plain):
+                x2 = ps.point_relax_split(lev.so2, x2, b2, kind, post)
+        if fuse_final_residual:
+            with scope("relaxation-residual-fused"):
+                return ps.point_relax_split(
+                    lev.so2, x2, b2, kind, post, fuse_residual=True
+                )
+        return x2, None
+
     with scope("interp-add"):
         x2 = pt.interp_add_split(coarse.cip, lev.rec2, cx, res2, x2)
-
-    post = "up" if settings.relax_symmetric else "down"
-    n_plain = settings.nrelax_post - (1 if fuse_final_residual else 0)
-    with scope("relaxation"):
-        for _ in range(n_plain):
-            x2 = ps.point_relax_split(lev.so2, x2, b2, kind, post)
-    if fuse_final_residual:
-        with scope("relaxation-residual-fused"):
-            x2, res2p = ps.point_relax_split(
-                lev.so2, x2, b2, kind, post, fuse_residual=True
-            )
-        return x2, res2p
     return x2, None
 
 

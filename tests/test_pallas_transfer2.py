@@ -101,3 +101,46 @@ def test_interp_add_split_matches_dense(nine, nx, ny, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(ref), np.asarray(got), rtol=3e-6, atol=3e-6
     )
+
+
+@pytest.mark.parametrize("nine,nx,ny", [(False, 256, 256), (True, 256, 384)])
+@pytest.mark.parametrize("updown", ["down", "up"])
+@pytest.mark.parametrize("fuse_res", [False, True])
+def test_interp_sweep_split_matches_separate(nine, nx, ny, updown, fuse_res,
+                                             monkeypatch):
+    """The fused interp_add + post-sweep kernel is bit-identical to
+    interp_add_split followed by point_relax_split (incl. the fused
+    convergence residual)."""
+    from cedar_tpu.ops import pallas2_split as ps
+
+    monkeypatch.setattr(ps, "INTERPRET", True)
+    from test_kernels_2d import random_so
+
+    rng = np.random.default_rng(29 + nx + nine)
+    so = jnp.asarray(random_so(rng, nx, ny, nine), jnp.float32)
+    kind = StencilKind.nine_pt if nine else StencilKind.five_pt
+    ci = setup_interp(so, kind)
+    nxc, nyc = (nx - 1) // 2 + 1, (ny - 1) // 2 + 1
+    res = jnp.asarray(rng.standard_normal((nx, ny)), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((nx, ny)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((nx, ny)), jnp.float32)
+    qc = jnp.asarray(rng.standard_normal((nxc, nyc)), jnp.float32)
+
+    cip = pt.pad_ci(ci, nx, ny)
+    rec2 = pt.setup_rec2(so)
+    res2 = pt.lane_split_res(res)
+    nxp, W = res2.shape[1], res2.shape[2]
+    so2 = ps.split_so(so, kind, nxp, W)
+    q2 = ps.lane_split(q, nxp, W)
+    b2 = ps.lane_split(b, nxp, W)
+
+    mid = pt.interp_add_split(cip, rec2, qc, res2, q2)
+    ref = ps.point_relax_split(so2, mid, b2, kind, updown,
+                               fuse_residual=fuse_res)
+    got = pt.interp_sweep_split(cip, qc, res2, so2, b2, q2, kind, updown,
+                                fuse_residual=fuse_res)
+    if fuse_res:
+        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+    else:
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))

@@ -330,6 +330,197 @@ def interp_add(cip, rec2, qc, res2, q):
 
 
 # ---------------------------------------------------------------------------
+# fused pre-smooth + residual + restrict, split layout
+# ---------------------------------------------------------------------------
+
+def _sweep_restrict_kernel(
+    so_t, so_m, so_b, b_t, b_m, b_b, q_t, q_m, q_b, ci_m, ci_b,
+    out_m, res_m, cb_m,
+    *, kind, updown, T, nx, W,
+):
+    """One slab of the multicolor sweep + residual + restriction.
+
+    The split cycle's pre-smooth already fuses the residual; the
+    restriction then re-read it from HBM.  Here the coarse rhs is formed
+    from the residual while it is still in VMEM.  Validity: phases
+    (≤ 4) + residual (1) leave rows [5, R-5) valid; the restriction of
+    the mid coarse rows reads residual window rows [H-1, H+T] ⊂ that
+    range.  Restriction term order mirrors _restrict_kernel
+    (bit-identical coarse rhs)."""
+    from cedar_tpu.core.types import StencilKind
+    from cedar_tpu.ops.pallas2_split import (
+        _offdiag_split, _split_couplings,
+    )
+    from cedar_tpu.ops.pallas2 import _color_order
+
+    nine = kind != StencilKind.five_pt
+    H = _H
+    R = T + 2 * H
+    Tc = T // 2
+    i = pl.program_id(0)
+
+    so = jnp.concatenate([so_t[...], so_m[...], so_b[...]], axis=2)
+    b = jnp.concatenate([b_t[...], b_m[...], b_b[...]], axis=1)
+    q = jnp.concatenate([q_t[...], q_m[...], q_b[...]], axis=1)
+    q_planes = [q[0], q[1]]
+    b_planes = [b[0], b[1]]
+    rec = [1.0 / so[Dir2.O, 0], 1.0 / so[Dir2.O, 1]]
+
+    row0 = i * T - H
+    gi = row0 + jax.lax.broadcasted_iota(jnp.int32, (R, W), 0)
+    himask = gi < (nx - 1)
+
+    cpl = _split_couplings(so[:, 0], so[:, 1], nine)
+    zero = jnp.zeros((), so.dtype)
+    for p in (0, 1):
+        cpl[p] = {
+            off: ((jnp.where(himask, c, zero), ps, dl) if off[0] > 0
+                  else (c, ps, dl))
+            for off, (c, ps, dl) in cpl[p].items()
+        }
+
+    for color in _color_order(kind, updown):
+        if nine:
+            cw, cz = color
+            p = cw
+            mask = (gi % 2) == cz
+            upd = (b_planes[p] + _offdiag_split(cpl[p], q_planes)) * rec[p]
+            q_planes[p] = jnp.where(mask, upd, q_planes[p])
+        else:
+            for p in (0, 1):
+                mask = ((gi + p) % 2) == color
+                upd = (b_planes[p]
+                       + _offdiag_split(cpl[p], q_planes)) * rec[p]
+                q_planes[p] = jnp.where(mask, upd, q_planes[p])
+
+    res = [
+        b_planes[p] + _offdiag_split(cpl[p], q_planes)
+        - so[Dir2.O, p] * q_planes[p]
+        for p in (0, 1)
+    ]
+    out_m[...] = jnp.stack(q_planes)[:, H : H + T]
+    res_m[...] = jnp.stack(res)[:, H : H + T]
+
+    # -- restriction of the in-VMEM residual (mirrors _restrict_kernel) --
+    # coarse output row c <-> fine window row 2c + H <-> row pair c + H/2
+    E0, E1 = _row_split(res[0])
+    O0, O1 = _row_split(res[1])
+    h = H // 2
+
+    c = E0[h : h + Tc]
+    w_ = E1[h - 1 : h - 1 + Tc]
+    e_ = E1[h : h + Tc]
+    s_ = _shr(O0)[h : h + Tc]
+    n_ = O0[h : h + Tc]
+    sw = _shr(O1)[h - 1 : h - 1 + Tc]
+    se = _shr(O1)[h : h + Tc]
+    nw = O1[h - 1 : h - 1 + Tc]
+    ne = O1[h : h + Tc]
+
+    ci = jnp.concatenate([ci_m[...], ci_b[...]], axis=1)
+
+    def base(p):
+        return ci[p, :Tc, :W]
+
+    def rs(p):
+        return ci[p, 1 : 1 + Tc, :W]
+
+    def sl(p, ks):
+        return _shl(ci[p, ks : ks + Tc])[:, :W]
+
+    qc = c
+    qc = qc + base(L.LR) * w_
+    qc = qc + rs(L.LL) * e_
+    qc = qc + base(L.LA) * s_
+    qc = qc + sl(L.LB, 0) * n_
+    qc = qc + base(L.LNE) * sw
+    qc = qc + rs(L.LNW) * se
+    qc = qc + sl(L.LSE, 0) * nw
+    qc = qc + sl(L.LSW, 1) * ne
+    cb_m[...] = qc
+
+
+@functools.partial(jax.jit, static_argnames=("kind", "updown", "nc"))
+def _sweep_restrict_call(so2, q2, b2, cip, kind, updown, nc):
+    _, nxp, W = q2.shape
+    ndir = so2.shape[0]
+    nyr = cip.shape[2]
+    T = 2 * _TC
+    assert nxp % T == 0 and W % 128 == 0
+    nb = nxp // T
+    tb = T // 8
+    nbf = nxp // 8 - 1
+
+    kernel = functools.partial(
+        _sweep_restrict_kernel, kind=kind, updown=updown, T=T, nx=nxp, W=W,
+    )
+
+    def fmid(i):
+        return (0, i, 0)
+
+    def ftop(i):
+        return (0, jnp.maximum(i * tb - 1, 0), 0)
+
+    def fbot(i):
+        return (0, jnp.minimum((i + 1) * tb, nbf), 0)
+
+    def fmid4(i):
+        return (0, 0, i, 0)
+
+    def ftop4(i):
+        return (0, 0, jnp.maximum(i * tb - 1, 0), 0)
+
+    def fbot4(i):
+        return (0, 0, jnp.minimum((i + 1) * tb, nbf), 0)
+
+    q_out, res2, cb = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((ndir, 2, _H, W), ftop4),
+            pl.BlockSpec((ndir, 2, T, W), fmid4),
+            pl.BlockSpec((ndir, 2, _H, W), fbot4),
+            pl.BlockSpec((2, _H, W), ftop),
+            pl.BlockSpec((2, T, W), fmid),
+            pl.BlockSpec((2, _H, W), fbot),
+            pl.BlockSpec((2, _H, W), ftop),
+            pl.BlockSpec((2, T, W), fmid),
+            pl.BlockSpec((2, _H, W), fbot),
+            pl.BlockSpec((8, _TC, nyr), lambda i: (0, i, 0)),
+            pl.BlockSpec((8, _H, nyr),
+                         lambda i: (0, (i + 1) * (_TC // _H), 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((2, T, W), fmid),
+            pl.BlockSpec((2, T, W), fmid),
+            pl.BlockSpec((_TC, W), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((2, nxp, W), q2.dtype),
+            jax.ShapeDtypeStruct((2, nxp, W), q2.dtype),
+            jax.ShapeDtypeStruct((nxp // 2, W), q2.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=112 * 1024 * 1024,
+        ),
+        interpret=INTERPRET,
+    )(so2, so2, so2, b2, b2, b2, q2, q2, q2, cip, cip)
+    return q_out, res2, cb[: nc[0], : nc[1]]
+
+
+def sweep_restrict_split(so2, q2, b2, cip, kind, updown, nc):
+    """Fused final pre-sweep + residual + restriction, split layout.
+
+    Returns ``(q2, res2, cb)``: the smoothed split iterate, its split
+    residual (consumed later by interp_add), and the coarse rhs — one
+    HBM pass instead of the sweep's plus the restriction's re-read of
+    the residual.  Bit-identical to ``point_relax_split(fuse_residual)``
+    followed by :func:`restrict`.  Serial, non-periodic.  Reference:
+    BMG2_SymStd_relax_GS.f90:89-137 + BMG2_SymStd_restrict.f90:76-130."""
+    return _sweep_restrict_call(so2, q2, b2, cip, kind, updown, tuple(nc))
+
+
+# ---------------------------------------------------------------------------
 # fused interp_add + post-smooth (+ optional residual), split layout
 # ---------------------------------------------------------------------------
 

@@ -216,14 +216,14 @@ def ncycle_split(
     with scope("relaxation"):
         for _ in range(settings.nrelax_pre - 1):
             x2 = ps.point_relax_split(lev.so2, x2, b2, kind, "down")
-    with scope("relaxation-residual-fused"):
-        x2, res2 = ps.point_relax_split(
-            lev.so2, x2, b2, kind, "down", fuse_residual=True
-        )
     coarse = levels[lvl + 1]
     cshape = coarse.so.shape[1:]
-    with scope("restrict"):
-        cb = pt.restrict(coarse.cip, res2, cshape)
+    # fused final pre-sweep + residual + restriction: the coarse rhs is
+    # formed from the residual while it is still in VMEM
+    with scope("relaxation-residual-restrict-fused"):
+        x2, res2, cb = pt.sweep_restrict_split(
+            lev.so2, x2, b2, coarse.cip, kind, "down", cshape
+        )
 
     if lvl + 1 == len(levels) - 1:
         with scope("coarse-solve"):

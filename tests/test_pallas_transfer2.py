@@ -144,3 +144,37 @@ def test_interp_sweep_split_matches_separate(nine, nx, ny, updown, fuse_res,
         np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
     else:
         np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+@pytest.mark.parametrize("nine,nx,ny", [(False, 256, 256), (True, 256, 384)])
+def test_sweep_restrict_split_matches_separate(nine, nx, ny, monkeypatch):
+    """The fused pre-sweep + residual + restrict kernel is bit-identical
+    to point_relax_split(fuse_residual=True) followed by restrict."""
+    from cedar_tpu.ops import pallas2_split as ps
+
+    monkeypatch.setattr(ps, "INTERPRET", True)
+    from test_kernels_2d import random_so
+
+    rng = np.random.default_rng(31 + nx + nine)
+    so = jnp.asarray(random_so(rng, nx, ny, nine), jnp.float32)
+    kind = StencilKind.nine_pt if nine else StencilKind.five_pt
+    ci = setup_interp(so, kind)
+    nc = ((nx - 1) // 2 + 1, (ny - 1) // 2 + 1)
+    q = jnp.asarray(rng.standard_normal((nx, ny)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((nx, ny)), jnp.float32)
+
+    cip = pt.pad_ci(ci, nx, ny)
+    nxp, W, _ = ps.split_dims(nx, ny)
+    so2 = ps.split_so(so, kind, nxp, W)
+    q2 = ps.lane_split(q, nxp, W)
+    b2 = ps.lane_split(b, nxp, W)
+
+    ref_q, ref_r = ps.point_relax_split(so2, q2, b2, kind, "down",
+                                        fuse_residual=True)
+    ref_cb = pt.restrict(cip, ref_r, nc)
+    got_q, got_r, got_cb = pt.sweep_restrict_split(
+        so2, q2, b2, cip, kind, "down", nc
+    )
+    np.testing.assert_array_equal(np.asarray(ref_q), np.asarray(got_q))
+    np.testing.assert_array_equal(np.asarray(ref_r), np.asarray(got_r))
+    np.testing.assert_array_equal(np.asarray(ref_cb), np.asarray(got_cb))

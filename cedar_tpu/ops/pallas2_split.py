@@ -200,7 +200,7 @@ def _offdiag_split(cpl_p, q_planes):
 def _sweep_kernel_split(
     orig_ref, so_m, so_t, so_b, b_m, b_t, b_b, q_m, q_t, q_b,
     out_m, res_m,
-    *, kind, updown, T, nx, W, fuse_residual,
+    *, kind, updown, T, nx, W, fuse_residual, fuse_norm=False,
 ):
     nine = kind != StencilKind.five_pt
     H = _H
@@ -253,29 +253,48 @@ def _sweep_kernel_split(
             - so[:, p][Dir2.O] * q_planes[p]
             for p in (0, 1)
         ])
-        res_m[...] = res[:, H: H + T]
+        if fuse_norm:
+            # per-block partial sums of res² (the solve loop's convergence
+            # norm) — the full residual never touches HBM.  Pad rows/lanes
+            # contribute zero (q, b stay zero there; pad diag is 1).  The
+            # sums land in row 0 of an 8-row block (Mosaic's sublane
+            # granularity); rows 1-7 are zeros, so a plain sum over the
+            # whole output is the squared norm.
+            r = res[:, H: H + T]
+            s = jnp.sum(r * r, axis=(0, 1)).reshape(1, W)
+            res_m[...] = jnp.concatenate(
+                [s, jnp.zeros((7, W), s.dtype)], axis=0
+            )
+        else:
+            res_m[...] = res[:, H: H + T]
 
 
 def point_relax_split(so2, q2, b2, kind, updown, fuse_residual=False,
-                      origin=None):
+                      origin=None, fuse_norm=False):
     """One full multicolor sweep on the lane-parity-split representation.
 
     ``so2`` from :func:`split_so` (padded at setup); ``q2``/``b2``
     (2, nxp, W) from :func:`lane_split`.  Returns the updated split q
     (and the split residual with ``fuse_residual``) — no dense round
     trip.  Bit-identical to the dense Pallas sweep on the merged
-    arrays."""
+    arrays.  With ``fuse_norm`` (implies ``fuse_residual``) the second
+    return value is instead a (nblocks, W) array of per-block partial
+    sums of res² — ``sqrt(sum(...))`` is the l2 norm of the residual;
+    the residual itself never leaves VMEM."""
     if origin is None:
         origin = jnp.zeros((2,), jnp.int32)
     return _point_relax_split_call(so2, q2, b2, kind, updown,
-                                   fuse_residual, origin)
+                                   fuse_residual or fuse_norm, origin,
+                                   fuse_norm)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kind", "updown", "fuse_residual")
+    jax.jit, static_argnames=("kind", "updown", "fuse_residual",
+                              "fuse_norm")
 )
 def _point_relax_split_call(so2, q2, b2, kind, updown,
-                            fuse_residual=False, origin=None):
+                            fuse_residual=False, origin=None,
+                            fuse_norm=False):
     _, nxp, W = q2.shape
     ndir = so2.shape[0]
     T = _tile_for(nxp, 2 * W, ndir)
@@ -286,13 +305,17 @@ def _point_relax_split_call(so2, q2, b2, kind, updown,
 
     kernel = functools.partial(
         _sweep_kernel_split, kind=kind, updown=updown, T=T, nx=nxp, W=W,
-        fuse_residual=fuse_residual,
+        fuse_residual=fuse_residual, fuse_norm=fuse_norm,
     )
+    if fuse_norm:
+        res_shape = (8 * (nxp // T), W)
+    elif fuse_residual:
+        res_shape = (2, nxp, W)
+    else:
+        res_shape = (2, 8, 128)
     out_shapes = [
         jax.ShapeDtypeStruct((2, nxp, W), dtype),
-        jax.ShapeDtypeStruct(
-            (2, nxp, W) if fuse_residual else (2, 8, 128), dtype
-        ),
+        jax.ShapeDtypeStruct(res_shape, dtype),
     ]
     tb = T // 8
     nb = nxp // 8 - 1
@@ -332,8 +355,9 @@ def _point_relax_split_call(so2, q2, b2, kind, updown,
         ],
         out_specs=[
             pl.BlockSpec((2, T, W), mid),
-            pl.BlockSpec((2, T, W), mid) if fuse_residual
-            else pl.BlockSpec((2, 8, 128), lambda i: (0, 0, 0)),
+            pl.BlockSpec((8, W), lambda i: (i, 0)) if fuse_norm
+            else (pl.BlockSpec((2, T, W), mid) if fuse_residual
+                  else pl.BlockSpec((2, 8, 128), lambda i: (0, 0, 0))),
         ],
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(

@@ -336,7 +336,7 @@ def interp_add(cip, rec2, qc, res2, q):
 def _sweep_restrict_kernel(
     so_t, so_m, so_b, b_t, b_m, b_b, q_t, q_m, q_b, ci_m, ci_b,
     out_m, res_m, cb_m,
-    *, kind, updown, T, nx, W,
+    *, kind, updown, T, nx, W, emit_res=True,
 ):
     """One slab of the multicolor sweep + residual + restriction.
 
@@ -399,7 +399,8 @@ def _sweep_restrict_kernel(
         for p in (0, 1)
     ]
     out_m[...] = jnp.stack(q_planes)[:, H : H + T]
-    res_m[...] = jnp.stack(res)[:, H : H + T]
+    if emit_res:
+        res_m[...] = jnp.stack(res)[:, H : H + T]
 
     # -- restriction of the in-VMEM residual (mirrors _restrict_kernel) --
     # coarse output row c <-> fine window row 2c + H <-> row pair c + H/2
@@ -440,8 +441,11 @@ def _sweep_restrict_kernel(
     cb_m[...] = qc
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "updown", "nc"))
-def _sweep_restrict_call(so2, q2, b2, cip, kind, updown, nc):
+@functools.partial(
+    jax.jit, static_argnames=("kind", "updown", "nc", "emit_res")
+)
+def _sweep_restrict_call(so2, q2, b2, cip, kind, updown, nc,
+                         emit_res=True):
     _, nxp, W = q2.shape
     ndir = so2.shape[0]
     nyr = cip.shape[2]
@@ -453,6 +457,7 @@ def _sweep_restrict_call(so2, q2, b2, cip, kind, updown, nc):
 
     kernel = functools.partial(
         _sweep_restrict_kernel, kind=kind, updown=updown, T=T, nx=nxp, W=W,
+        emit_res=emit_res,
     )
 
     def fmid(i):
@@ -492,12 +497,15 @@ def _sweep_restrict_call(so2, q2, b2, cip, kind, updown, nc):
         ],
         out_specs=[
             pl.BlockSpec((2, T, W), fmid),
-            pl.BlockSpec((2, T, W), fmid),
+            pl.BlockSpec((2, T, W), fmid) if emit_res
+            else pl.BlockSpec((2, 8, 128), lambda i: (0, 0, 0)),
             pl.BlockSpec((_TC, W), lambda i: (i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((2, nxp, W), q2.dtype),
-            jax.ShapeDtypeStruct((2, nxp, W), q2.dtype),
+            jax.ShapeDtypeStruct(
+                (2, nxp, W) if emit_res else (2, 8, 128), q2.dtype
+            ),
             jax.ShapeDtypeStruct((nxp // 2, W), q2.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -505,19 +513,24 @@ def _sweep_restrict_call(so2, q2, b2, cip, kind, updown, nc):
         ),
         interpret=INTERPRET,
     )(so2, so2, so2, b2, b2, b2, q2, q2, q2, cip, cip)
-    return q_out, res2, cb[: nc[0], : nc[1]]
+    return q_out, (res2 if emit_res else None), cb[: nc[0], : nc[1]]
 
 
-def sweep_restrict_split(so2, q2, b2, cip, kind, updown, nc):
+def sweep_restrict_split(so2, q2, b2, cip, kind, updown, nc,
+                         emit_res=True):
     """Fused final pre-sweep + residual + restriction, split layout.
 
     Returns ``(q2, res2, cb)``: the smoothed split iterate, its split
-    residual (consumed later by interp_add), and the coarse rhs — one
-    HBM pass instead of the sweep's plus the restriction's re-read of
-    the residual.  Bit-identical to ``point_relax_split(fuse_residual)``
-    followed by :func:`restrict`.  Serial, non-periodic.  Reference:
-    BMG2_SymStd_relax_GS.f90:89-137 + BMG2_SymStd_restrict.f90:76-130."""
-    return _sweep_restrict_call(so2, q2, b2, cip, kind, updown, tuple(nc))
+    residual, and the coarse rhs — one HBM pass instead of the sweep's
+    plus the restriction's re-read of the residual.  With
+    ``emit_res=False`` (the default cycle: interp_sweep_split recomputes
+    the residual in-kernel) the residual is never written to HBM and the
+    second return value is None.  Bit-identical to
+    ``point_relax_split(fuse_residual)`` followed by :func:`restrict`.
+    Serial, non-periodic.  Reference: BMG2_SymStd_relax_GS.f90:89-137 +
+    BMG2_SymStd_restrict.f90:76-130."""
+    return _sweep_restrict_call(so2, q2, b2, cip, kind, updown, tuple(nc),
+                                emit_res)
 
 
 # ---------------------------------------------------------------------------
@@ -525,23 +538,28 @@ def sweep_restrict_split(so2, q2, b2, cip, kind, updown, nc):
 # ---------------------------------------------------------------------------
 
 def _interp_sweep_kernel(
-    qc_t, qc_m, qc_b, ci_t, ci_m, ci_b, r2_t, r2_m, r2_b,
+    qc_t, qc_m, qc_b, ci_t, ci_m, ci_b,
     so_t, so_m, so_b, b_t, b_m, b_b, q_t, q_m, q_b,
     out_m, res_m,
-    *, kind, updown, T, nx, W, fuse_residual,
+    *, kind, updown, T, nx, W, fuse_residual, fuse_norm=False,
 ):
     """One slab of ``interp_add`` followed by a full multicolor sweep.
 
     The separate kernels cost an extra write+read of the whole q plus a
     streamed 1/diag copy; here the interpolated iterate never leaves
-    VMEM.  Validity accounting (window = mid T rows + H-row halos, same
-    scheme as the sweep kernels): the interpolation parts are valid on
-    every window row whose coarse reads exist (interior blocks: all of
-    them; edge blocks: the clamped-duplicate halo rows are garbage but
-    every read into them is annihilated by the stored-zero boundary
-    couplings, exactly as in the plain sweep kernel); each color phase
-    then shrinks validity by one row — 4 phases + residual = 5 ≤ H = 8.
-    Bit-identical to ``interp_add_split`` + ``point_relax_split``."""
+    VMEM.  The pre-sweep residual feeding the fine-point correction is
+    RECOMPUTED in-kernel from the streamed (so, b, q) — the split cycle
+    therefore never writes it to HBM at all (callers must pass the q
+    whose residual it is, i.e. the pre-smoothed iterate — the cycle's
+    invariant).  Validity accounting (window = mid T rows + H-row halos,
+    same scheme as the sweep kernels): the recomputed residual is valid
+    on all but the outermost window row on each side (edge blocks:
+    clamped-duplicate halo rows are garbage but every read into them is
+    annihilated by the stored-zero boundary couplings, exactly as in the
+    plain sweep kernel); the interpolation parts consume it pointwise;
+    each color phase then shrinks validity by one row — 1 + 4 phases +
+    residual = 6 ≤ H = 8.  Bit-identical to ``point_relax_split``'s
+    fused residual + ``interp_add_split`` + ``point_relax_split``."""
     from cedar_tpu.core.types import StencilKind
     from cedar_tpu.ops.pallas2_split import (
         _offdiag_split, _split_couplings,
@@ -556,7 +574,6 @@ def _interp_sweep_kernel(
 
     qc = jnp.concatenate([qc_t[...], qc_m[...], qc_b[...]], axis=0)
     ci = jnp.concatenate([ci_t[...], ci_m[...], ci_b[...]], axis=1)
-    r2 = jnp.concatenate([r2_t[...], r2_m[...], r2_b[...]], axis=1)
     so = jnp.concatenate([so_t[...], so_m[...], so_b[...]], axis=2)
     b = jnp.concatenate([b_t[...], b_m[...], b_b[...]], axis=1)
     q = jnp.concatenate([q_t[...], q_m[...], q_b[...]], axis=1)
@@ -564,6 +581,27 @@ def _interp_sweep_kernel(
     # 1/diag in-kernel (identical f32 values to the setup-built rec2 —
     # saves that whole input stream)
     rec = [1.0 / so[Dir2.O, 0], 1.0 / so[Dir2.O, 1]]
+
+    row0 = i * T - H
+    gi = row0 + jax.lax.broadcasted_iota(jnp.int32, (R, W), 0)
+    himask = gi < (nx - 1)
+
+    cpl = _split_couplings(so[:, 0], so[:, 1], nine)
+    zero = jnp.zeros((), so.dtype)
+    for p in (0, 1):
+        cpl[p] = {
+            off: ((jnp.where(himask, c, zero), ps, dl) if off[0] > 0
+                  else (c, ps, dl))
+            for off, (c, ps, dl) in cpl[p].items()
+        }
+
+    # -- pre-sweep residual, recomputed in-VMEM (same expression and
+    # term order as the sweep kernels' fused residual) -------------------
+    q_in = [q[0], q[1]]
+    r2 = [
+        b[p] + _offdiag_split(cpl[p], q_in) - so[Dir2.O, p] * q_in[p]
+        for p in (0, 1)
+    ]
 
     # -- interpolation parts over the WHOLE window -----------------------
     # window fine row pair k <-> global coarse row i*Tc - H/2 + k, which
@@ -609,19 +647,6 @@ def _interp_sweep_kernel(
     b_planes = [b[0], b[1]]
 
     # -- multicolor sweep (same algebra as _sweep_kernel_split) ----------
-    row0 = i * T - H
-    gi = row0 + jax.lax.broadcasted_iota(jnp.int32, (R, W), 0)
-    himask = gi < (nx - 1)
-
-    cpl = _split_couplings(so[:, 0], so[:, 1], nine)
-    zero = jnp.zeros((), so.dtype)
-    for p in (0, 1):
-        cpl[p] = {
-            off: ((jnp.where(himask, c, zero), ps, dl) if off[0] > 0
-                  else (c, ps, dl))
-            for off, (c, ps, dl) in cpl[p].items()
-        }
-
     for color in _color_order(kind, updown):
         if nine:
             cw, cz = color
@@ -644,24 +669,40 @@ def _interp_sweep_kernel(
             - so[Dir2.O, p] * q_planes[p]
             for p in (0, 1)
         ])
-        res_m[...] = res[:, H : H + T]
+        if fuse_norm:
+            # partial res² sums in row 0 of an 8-row block (Mosaic's
+            # sublane granularity); rows 1-7 zero — see pallas2_split
+            r = res[:, H : H + T]
+            s = jnp.sum(r * r, axis=(0, 1)).reshape(1, W)
+            res_m[...] = jnp.concatenate(
+                [s, jnp.zeros((7, W), s.dtype)], axis=0
+            )
+        else:
+            res_m[...] = res[:, H : H + T]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kind", "updown", "fuse_residual")
+    jax.jit, static_argnames=("kind", "updown", "fuse_residual",
+                              "fuse_norm")
 )
-def interp_sweep_split(cip, qc, res2, so2, b2, q2, kind, updown,
-                       fuse_residual=False):
+def interp_sweep_split(cip, qc, so2, b2, q2, kind, updown,
+                       fuse_residual=False, fuse_norm=False):
     """``q2 + P qc + res/diag`` then one multicolor sweep, fused.
 
     Replaces :func:`interp_add_split` + ``pallas2_split.point_relax_split``
-    in the split-resident cycle: saves the intermediate q write+read AND
-    the rec2 stream (1/diag is recomputed from so2 in-kernel).  With
-    ``fuse_residual`` also emits ``b - A q`` of the post-sweep iterate
-    (the solve loop's convergence residual).  Serial, non-periodic.
-    Reference semantics: BMG2_SymStd_interp_add.f90:101-137 followed by
-    BMG2_SymStd_relax_GS.f90:89-137."""
-    _, nxp, W = res2.shape
+    in the split-resident cycle: saves the intermediate q write+read, the
+    rec2 stream (1/diag is recomputed from so2 in-kernel), AND the whole
+    residual round-trip — the fine-point correction's residual is
+    recomputed in-VMEM from (so2, b2, q2), so ``q2`` MUST be the
+    pre-smoothed iterate whose residual was restricted (the cycle's
+    invariant).  With ``fuse_residual`` also emits ``b - A q`` of the
+    post-sweep iterate (the solve loop's convergence residual); with
+    ``fuse_norm`` it emits per-block partial sums of res² instead
+    ((nblocks, W); the residual never touches HBM).  Serial,
+    non-periodic.  Reference semantics: BMG2_SymStd_interp_add.f90:101-137
+    followed by BMG2_SymStd_relax_GS.f90:89-137."""
+    fuse_residual = fuse_residual or fuse_norm
+    _, nxp, W = q2.shape
     ndir = so2.shape[0]
     rows = nxp // 2 + _H
     cols = W + 128
@@ -678,7 +719,7 @@ def interp_sweep_split(cip, qc, res2, so2, b2, q2, kind, updown,
 
     kernel = functools.partial(
         _interp_sweep_kernel, kind=kind, updown=updown, T=T, nx=nxp, W=W,
-        fuse_residual=fuse_residual,
+        fuse_residual=fuse_residual, fuse_norm=fuse_norm,
     )
 
     def cmid2(i):
@@ -717,11 +758,15 @@ def interp_sweep_split(cip, qc, res2, so2, b2, q2, kind, updown,
     def fbot4(i):
         return (0, 0, jnp.minimum((i + 1) * tb, nbf), 0)
 
+    if fuse_norm:
+        res_shape = (8 * nb, W)
+    elif fuse_residual:
+        res_shape = (2, nxp, W)
+    else:
+        res_shape = (2, 8, 128)
     out_shapes = [
         jax.ShapeDtypeStruct((2, nxp, W), q2.dtype),
-        jax.ShapeDtypeStruct(
-            (2, nxp, W) if fuse_residual else (2, 8, 128), q2.dtype
-        ),
+        jax.ShapeDtypeStruct(res_shape, q2.dtype),
     ]
     q_out, res = pl.pallas_call(
         kernel,
@@ -733,9 +778,6 @@ def interp_sweep_split(cip, qc, res2, so2, b2, q2, kind, updown,
             pl.BlockSpec((8, _H, nyr), ctop3),
             pl.BlockSpec((8, _TC, nyr), cmid3),
             pl.BlockSpec((8, _H, nyr), cbot3),
-            pl.BlockSpec((2, _H, W), ftop),
-            pl.BlockSpec((2, T, W), fmid),
-            pl.BlockSpec((2, _H, W), fbot),
             pl.BlockSpec((ndir, 2, _H, W), ftop4),
             pl.BlockSpec((ndir, 2, T, W), fmid4),
             pl.BlockSpec((ndir, 2, _H, W), fbot4),
@@ -748,15 +790,16 @@ def interp_sweep_split(cip, qc, res2, so2, b2, q2, kind, updown,
         ],
         out_specs=[
             pl.BlockSpec((2, T, W), fmid),
-            pl.BlockSpec((2, T, W), fmid) if fuse_residual
-            else pl.BlockSpec((2, 8, 128), lambda i: (0, 0, 0)),
+            pl.BlockSpec((8, W), lambda i: (i, 0)) if fuse_norm
+            else (pl.BlockSpec((2, T, W), fmid) if fuse_residual
+                  else pl.BlockSpec((2, 8, 128), lambda i: (0, 0, 0))),
         ],
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=112 * 1024 * 1024,
         ),
         interpret=INTERPRET,
-    )(qcp, qcp, qcp, cip, cip, cip, res2, res2, res2,
+    )(qcp, qcp, qcp, cip, cip, cip,
       so2, so2, so2, b2, b2, b2, q2, q2, q2)
     if fuse_residual:
         return q_out, res

@@ -204,11 +204,17 @@ def ncycle_split(
 ):
     """One V-cycle with the top level(s) resident in the lane-parity-split
     layout (2, nxp, W): the fused pre-sweep residual feeds restrict with
-    no lane-split pass, interpolation merges in-kernel onto split q, and
-    (optionally) the top level's last post-sweep fuses the
-    convergence-check residual — zero XLA layout passes on split levels.
-    Recurses into the next level split-resident too when its workspaces
-    exist (kernels.split-levels); deeper levels run the dense ncycle."""
+    no lane-split pass (and, when a post-sweep exists, is never written
+    to HBM at all — interp_sweep_split recomputes it in-VMEM),
+    interpolation merges in-kernel onto split q, and (optionally) the
+    top level's last post-sweep fuses the convergence-check residual
+    NORM — zero XLA layout or residual passes on split levels.  Recurses
+    into the next level split-resident too when its workspaces exist
+    (kernels.split-levels); deeper levels run the dense ncycle.
+
+    With ``fuse_final_residual`` returns ``(x2, partials)`` where
+    ``partials`` are per-block partial sums of res² (the convergence
+    norm is ``sqrt(sum(partials))``)."""
     from cedar_tpu.ops import pallas2_split as ps
     from cedar_tpu.ops import pallas_transfer2 as pt
 
@@ -219,10 +225,13 @@ def ncycle_split(
     coarse = levels[lvl + 1]
     cshape = coarse.so.shape[1:]
     # fused final pre-sweep + residual + restriction: the coarse rhs is
-    # formed from the residual while it is still in VMEM
+    # formed from the residual while it is still in VMEM; the residual
+    # itself is written back only when interp_add needs it from HBM
+    # (no post-sweep to recompute it in)
     with scope("relaxation-residual-restrict-fused"):
         x2, res2, cb = pt.sweep_restrict_split(
-            lev.so2, x2, b2, coarse.cip, kind, "down", cshape
+            lev.so2, x2, b2, coarse.cip, kind, "down", cshape,
+            emit_res=settings.nrelax_post < 1,
         )
 
     if lvl + 1 == len(levels) - 1:
@@ -244,13 +253,14 @@ def ncycle_split(
     post = "up" if settings.relax_symmetric else "down"
     if settings.nrelax_post >= 1:
         # fused interp_add + first post-sweep (+ the convergence residual
-        # when that sweep is the last): the interpolated iterate never
-        # leaves VMEM and the 1/diag stream is recomputed in-kernel
+        # NORM when that sweep is the last): the interpolated iterate
+        # never leaves VMEM, the 1/diag stream and the pre-sweep residual
+        # are recomputed in-kernel
         fuse_here = fuse_final_residual and settings.nrelax_post == 1
         with scope("interp-add-relax-fused"):
             out = pt.interp_sweep_split(
-                coarse.cip, cx, res2, lev.so2, b2, x2, kind, post,
-                fuse_residual=fuse_here,
+                coarse.cip, cx, lev.so2, b2, x2, kind, post,
+                fuse_norm=fuse_here,
             )
         if fuse_here:
             return out
@@ -263,7 +273,7 @@ def ncycle_split(
         if fuse_final_residual:
             with scope("relaxation-residual-fused"):
                 return ps.point_relax_split(
-                    lev.so2, x2, b2, kind, post, fuse_residual=True
+                    lev.so2, x2, b2, kind, post, fuse_norm=True
                 )
         return x2, None
 

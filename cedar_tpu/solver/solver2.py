@@ -349,11 +349,13 @@ class Solver2:
 
             def body_s(carry):
                 i, x2, rel, hist = carry
-                x2, res2 = cycle2.ncycle_split(
+                x2, normsq = cycle2.ncycle_split(
                     levels, self.kinds, x2, b2, settings, self.periodic,
                     fuse_final_residual=True,
                 )
-                rel = _l2(res2) / res0
+                # normsq: per-block partial sums of res² emitted by the
+                # last post-sweep (the residual never touches HBM)
+                rel = jnp.sqrt(jnp.sum(normsq)) / res0
                 hist = hist.at[i].set(rel)
                 return i + 1, x2, rel, hist
 

@@ -121,29 +121,47 @@ def test_interp_sweep_split_matches_separate(nine, nx, ny, updown, fuse_res,
     kind = StencilKind.nine_pt if nine else StencilKind.five_pt
     ci = setup_interp(so, kind)
     nxc, nyc = (nx - 1) // 2 + 1, (ny - 1) // 2 + 1
-    res = jnp.asarray(rng.standard_normal((nx, ny)), jnp.float32)
-    q = jnp.asarray(rng.standard_normal((nx, ny)), jnp.float32)
+    q0 = jnp.asarray(rng.standard_normal((nx, ny)), jnp.float32)
     b = jnp.asarray(rng.standard_normal((nx, ny)), jnp.float32)
     qc = jnp.asarray(rng.standard_normal((nxc, nyc)), jnp.float32)
 
     cip = pt.pad_ci(ci, nx, ny)
     rec2 = pt.setup_rec2(so)
-    res2 = pt.lane_split_res(res)
-    nxp, W = res2.shape[1], res2.shape[2]
+    nxp, W, _ = ps.split_dims(nx, ny)
     so2 = ps.split_so(so, kind, nxp, W)
-    q2 = ps.lane_split(q, nxp, W)
     b2 = ps.lane_split(b, nxp, W)
+
+    # the fused kernel recomputes the residual of the incoming q
+    # in-kernel: establish the cycle invariant (q2 is a smoothed iterate,
+    # res2 its fused residual) and compare against the separate path
+    q2, res2 = ps.point_relax_split(so2, ps.lane_split(q0, nxp, W), b2,
+                                    kind, "down", fuse_residual=True)
 
     mid = pt.interp_add_split(cip, rec2, qc, res2, q2)
     ref = ps.point_relax_split(so2, mid, b2, kind, updown,
                                fuse_residual=fuse_res)
-    got = pt.interp_sweep_split(cip, qc, res2, so2, b2, q2, kind, updown,
+    got = pt.interp_sweep_split(cip, qc, so2, b2, q2, kind, updown,
                                 fuse_residual=fuse_res)
+    # ULP-level tolerance: the fused kernel recomputes the residual
+    # in-kernel; the enclosing graph differs from the separate path's, so
+    # XLA's fusion/contraction choices may differ at the last bit
+    kw = dict(rtol=1e-5, atol=5e-6)
     if fuse_res:
-        np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
-        np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+        np.testing.assert_allclose(np.asarray(ref[0]), np.asarray(got[0]),
+                                   **kw)
+        np.testing.assert_allclose(np.asarray(ref[1]), np.asarray(got[1]),
+                                   **kw)
+        # fuse_norm: per-block partial sums of res² match the full
+        # residual's squared l2 norm
+        _, partials = pt.interp_sweep_split(cip, qc, so2, b2, q2, kind,
+                                            updown, fuse_norm=True)
+        np.testing.assert_allclose(
+            float(jnp.sum(partials)),
+            float(jnp.sum(ref[1] * ref[1])),
+            rtol=1e-5,
+        )
     else:
-        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got), **kw)
 
 
 @pytest.mark.parametrize("nine,nx,ny", [(False, 256, 256), (True, 256, 384)])
@@ -178,3 +196,12 @@ def test_sweep_restrict_split_matches_separate(nine, nx, ny, monkeypatch):
     np.testing.assert_array_equal(np.asarray(ref_q), np.asarray(got_q))
     np.testing.assert_array_equal(np.asarray(ref_r), np.asarray(got_r))
     np.testing.assert_array_equal(np.asarray(ref_cb), np.asarray(got_cb))
+
+    # emit_res=False (the default-cycle configuration): the residual is
+    # never written; q and the coarse rhs are unchanged
+    nr_q, nr_r, nr_cb = pt.sweep_restrict_split(
+        so2, q2, b2, cip, kind, "down", nc, emit_res=False
+    )
+    assert nr_r is None
+    np.testing.assert_array_equal(np.asarray(ref_q), np.asarray(nr_q))
+    np.testing.assert_array_equal(np.asarray(ref_cb), np.asarray(nr_cb))

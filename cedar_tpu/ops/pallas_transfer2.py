@@ -558,8 +558,10 @@ def _interp_sweep_kernel(
     annihilated by the stored-zero boundary couplings, exactly as in the
     plain sweep kernel); the interpolation parts consume it pointwise;
     each color phase then shrinks validity by one row — 1 + 4 phases +
-    residual = 6 ≤ H = 8.  Bit-identical to ``point_relax_split``'s
-    fused residual + ``interp_add_split`` + ``point_relax_split``."""
+    residual = 6 ≤ H = 8.  ULP-level agreement (the in-kernel residual
+    recompute changes compiler FMA contraction) with
+    ``point_relax_split``'s fused residual + ``interp_add_split`` +
+    ``point_relax_split``."""
     from cedar_tpu.core.types import StencilKind
     from cedar_tpu.ops.pallas2_split import (
         _offdiag_split, _split_couplings,
@@ -685,7 +687,7 @@ def _interp_sweep_kernel(
     jax.jit, static_argnames=("kind", "updown", "fuse_residual",
                               "fuse_norm")
 )
-def interp_sweep_split(cip, qc, so2, b2, q2, kind, updown,
+def interp_sweep_split(cip, qc, so2, b2, q2_presmoothed, kind, updown,
                        fuse_residual=False, fuse_norm=False):
     """``q2 + P qc + res/diag`` then one multicolor sweep, fused.
 
@@ -693,7 +695,7 @@ def interp_sweep_split(cip, qc, so2, b2, q2, kind, updown,
     in the split-resident cycle: saves the intermediate q write+read, the
     rec2 stream (1/diag is recomputed from so2 in-kernel), AND the whole
     residual round-trip — the fine-point correction's residual is
-    recomputed in-VMEM from (so2, b2, q2), so ``q2`` MUST be the
+    recomputed in-VMEM from (so2, b2, q2_presmoothed), so it MUST be the
     pre-smoothed iterate whose residual was restricted (the cycle's
     invariant).  With ``fuse_residual`` also emits ``b - A q`` of the
     post-sweep iterate (the solve loop's convergence residual); with
@@ -701,6 +703,7 @@ def interp_sweep_split(cip, qc, so2, b2, q2, kind, updown,
     ((nblocks, W); the residual never touches HBM).  Serial,
     non-periodic.  Reference semantics: BMG2_SymStd_interp_add.f90:101-137
     followed by BMG2_SymStd_relax_GS.f90:89-137."""
+    q2 = q2_presmoothed
     fuse_residual = fuse_residual or fuse_norm
     _, nxp, W = q2.shape
     ndir = so2.shape[0]

@@ -108,9 +108,10 @@ def test_interp_add_split_matches_dense(nine, nx, ny, monkeypatch):
 @pytest.mark.parametrize("fuse_res", [False, True])
 def test_interp_sweep_split_matches_separate(nine, nx, ny, updown, fuse_res,
                                              monkeypatch):
-    """The fused interp_add + post-sweep kernel is bit-identical to
+    """The fused interp_add + post-sweep kernel agrees at ULP level with
     interp_add_split followed by point_relax_split (incl. the fused
-    convergence residual)."""
+    convergence residual) — the in-kernel residual recompute changes
+    compiler FMA contraction, so the check is allclose, not bit-equal."""
     from cedar_tpu.ops import pallas2_split as ps
 
     monkeypatch.setattr(ps, "INTERPRET", True)

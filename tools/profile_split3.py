@@ -36,8 +36,9 @@ def main(n=4096):
     ms = timed_loop(split_cycle_norm, x20, s.levels, b2)
     print(f"split cycle + norm   : {ms:7.3f} ms", flush=True)
 
-    # per-level entry
-    for lvl in range(1, 4):
+    # per-level entry (clamped so small n degrades gracefully)
+    tail_lvl = min(4, s.nlevels - 1)
+    for lvl in range(1, tail_lvl):
         if not cycle2._split_ok_at(s.levels, lvl):
             break
         shp = s.levels[lvl].so.shape[1:]
@@ -50,14 +51,15 @@ def main(n=4096):
         ms = timed_loop(enter, jnp.zeros_like(bl), s.levels, bl)
         print(f"split cycle @L{lvl} {str(shp):14}: {ms:7.3f} ms", flush=True)
 
-    # dense tail (level 4 down)
+    # dense tail (level tail_lvl down)
     from cedar_tpu.solver.cycle2 import ncycle
-    tail = s.levels[4:]
-    bt = jnp.zeros(tail[0].so.shape[1:], jnp.float32).at[10, 10].set(1.0)
+    tail = s.levels[tail_lvl:]
+    ti, tj = (d // 2 for d in tail[0].so.shape[1:])
+    bt = jnp.zeros(tail[0].so.shape[1:], jnp.float32).at[ti, tj].set(1.0)
     def dense_tail(x, tail, bt):
-        return ncycle(tail, s.kinds[4:], 0, x, bt, s.settings)
+        return ncycle(tail, s.kinds[tail_lvl:], 0, x, bt, s.settings)
     ms = timed_loop(dense_tail, jnp.zeros_like(bt), tail, bt)
-    print(f"dense tail (L4-)     : {ms:7.3f} ms", flush=True)
+    print(f"dense tail (L{tail_lvl}-)     : {ms:7.3f} ms", flush=True)
 
     # fused op costs at L0
     lev, coarse = s.levels[0], s.levels[1]

@@ -90,6 +90,82 @@ def _resolve_backend_for_mesh(conf: Config, mesh) -> None:
 class _DistMixin:
     """Sharding plumbing shared by the 2D/3D distributed solvers."""
 
+    # -- uneven-extent distribution via inert padding ---------------------
+    # XLA committed shardings must divide evenly, so the reference's
+    # parity-aware uneven block partition (include/cedar/mpi/
+    # block_partition.h:8-34, 2d/mpi/solver.h:176-196) maps to padding
+    # each non-divisible axis with DECOUPLED rows (zero couplings, unit
+    # diagonal, zero rhs).  The stored-zero boundary convention means the
+    # pad never interacts with the real block: relaxation keeps it at
+    # zero, interpolation weights into it vanish through the collapse
+    # guard, Galerkin coarse entries of real points are untouched — the
+    # padded solve's trajectory on the real region is exactly the
+    # unpadded one's (the level count is pinned to the TRUE extents so
+    # hierarchies agree level-by-level).
+
+    def _pad_operator(self, so, conf: Config, mesh):
+        """Pad non-divisible fine axes to a multiple of 2*mesh_dim (fine
+        AND first-coarse divisibility; deeper levels shard when their own
+        extents divide).  Returns the padded operator; records the true
+        extents for solve()/vcycle() to slice results back."""
+        import jax.numpy as jnp
+
+        ndim = self._ndim
+        dims = so.shape[1:]
+        self._true_dims = tuple(dims)
+        axes = mesh.axis_names
+        per = list(conf.get("grid.periodic", [])) + [False] * ndim
+        pads = []
+        for d in range(ndim):
+            nd = mesh.shape[axes[d]]
+            n = dims[d]
+            # periodic axes cannot take an inert pad (it would sit between
+            # the wrap neighbors); they keep the replication fallback
+            if nd > 1 and n % nd and not per[d]:
+                m = 2 * nd
+                pads.append(-(-n // m) * m - n)
+            else:
+                pads.append(0)
+        if not any(pads):
+            return so
+        # pin the hierarchy depth to the true extents (identical to the
+        # serial solver's) unless explicitly configured
+        from cedar_tpu.settings import MLSettings
+
+        st = MLSettings.from_config(conf)
+        if st.num_levels <= 0:
+            if ndim == 2:
+                from cedar_tpu.solver.solver2 import compute_num_levels
+            else:
+                from cedar_tpu.solver.solver3 import compute_num_levels
+            conf.set("solver.num-levels",
+                     compute_num_levels(*dims, st.min_coarse))
+        sop = jnp.pad(so, ((0, 0),) + tuple((0, p) for p in pads))
+        for d, p in enumerate(pads):
+            if p:
+                idx = (0,) + tuple(
+                    slice(dims[i], None) if i == d else slice(None)
+                    for i in range(ndim)
+                )
+                sop = sop.at[idx].set(1.0)    # index 0 = diagonal plane
+        return sop
+
+    def _pad_func(self, a):
+        import jax.numpy as jnp
+
+        dims = getattr(self, "_true_dims", None)
+        if dims is None or tuple(a.shape) == tuple(self.shapes[0]):
+            return a
+        return jnp.pad(a, tuple(
+            (0, p - n) for n, p in zip(dims, self.shapes[0])
+        ))
+
+    def _unpad_func(self, a):
+        dims = getattr(self, "_true_dims", None)
+        if dims is None or tuple(a.shape) == tuple(dims):
+            return a
+        return a[tuple(slice(0, n) for n in dims)]
+
     def _dist_init(self, conf: Config, mesh):
         # Fused Pallas sweeps run per-shard via shard_map + ppermute halo
         # slabs (cedar_tpu.parallel.shard_relax); levels whose sharding the
@@ -181,17 +257,18 @@ class _DistMixin:
     def solve(self, b, x0=None):
         import jax.numpy as jnp
 
-        b = self._put_fine_func(b)
+        b = self._put_fine_func(self._pad_func(b))
         if x0 is None:
             x0 = jnp.zeros_like(b)
         else:
-            x0 = self._put_fine_func(x0)
-        return super().solve(b, x0)
+            x0 = self._put_fine_func(self._pad_func(x0))
+        return self._unpad_func(super().solve(b, x0))
 
     def vcycle(self, x, b):
-        return super().vcycle(
-            self._put_fine_func(x), self._put_fine_func(b)
-        )
+        return self._unpad_func(super().vcycle(
+            self._put_fine_func(self._pad_func(x)),
+            self._put_fine_func(self._pad_func(b)),
+        ))
 
 
 class DistSolver2(_DistMixin, Solver2):
@@ -202,6 +279,8 @@ class DistSolver2(_DistMixin, Solver2):
     def __init__(self, so, kind=StencilKind.five_pt, conf=None, mesh=None):
         if not isinstance(conf, Config):
             conf = Config(conf)
+        mesh = mesh if mesh is not None else make_mesh(self._ndim)
+        so = self._pad_operator(so, conf, mesh)
         so, mesh = self._shard_fine(so, conf, mesh)
         _resolve_backend_for_mesh(conf, mesh)
         super().__init__(so, kind, conf)
@@ -220,6 +299,8 @@ class DistSolver3(_DistMixin, Solver3):
     def __init__(self, so, kind=StencilKind.seven_pt, conf=None, mesh=None):
         if not isinstance(conf, Config):
             conf = Config(conf)
+        mesh = mesh if mesh is not None else make_mesh(self._ndim)
+        so = self._pad_operator(so, conf, mesh)
         so, mesh = self._shard_fine(so, conf, mesh)
         _resolve_backend_for_mesh(conf, mesh)
         super().__init__(so, kind, conf)

@@ -121,6 +121,113 @@ def _coarse_solve_inner(coarse, cb, settings: MLSettings, periodic):
     return x
 
 
+def fine_split_ok(levels, settings: MLSettings, constraints) -> bool:
+    """Whether the fine level can run the octant-split resident cycle
+    (pallas3_split): serial, V-cycle, point relaxation with at least one
+    pre- and post-sweep, split stencil + transfer workspaces present
+    (their setup already gated on backend/shape/periodicity)."""
+    return (
+        constraints is None
+        and settings.cycle.value == "v"
+        and settings.relaxation == RelaxType.point
+        and settings.nrelax_pre >= 1
+        and settings.nrelax_post >= 1
+        and len(levels) >= 2
+        and levels[0].so2 is not None
+        and levels[1].pw4 is not None
+    )
+
+
+def _split_ok_at(levels, lvl) -> bool:
+    """Level ``lvl`` can run split-resident: split stencil present (setup
+    gated on backend/shape/relaxation) and its coarse level has the
+    split-transfer weight workspace."""
+    return (
+        lvl < len(levels) - 1
+        and levels[lvl].so2 is not None
+        and levels[lvl + 1].pw4 is not None
+    )
+
+
+def ncycle_split(
+    levels,
+    kinds,
+    x4: jnp.ndarray,
+    b4: jnp.ndarray,
+    settings: MLSettings,
+    periodic=(False, False, False),
+    fuse_final_residual: bool = False,
+    lvl: int = 0,
+):
+    """One V-cycle with the top level(s) resident in the octant-split
+    layout (4, nxp, kp): the fused pre-sweep residual restricts with no
+    layout pass (and is never written to HBM — interp_sweep_split3
+    recomputes it in-VMEM), interpolation + the first post-sweep fuse,
+    and (optionally) the top level's last post-sweep fuses the
+    convergence-residual NORM.  Recurses split-resident while the
+    workspaces exist; deeper levels run the dense ncycle.  3D analogue
+    of cycle2.ncycle_split.
+
+    With ``fuse_final_residual`` returns ``(x4, partials)`` where
+    ``partials`` are per-block partial sums of res²."""
+    from cedar_tpu.ops import pallas3_split as p3s
+
+    lev, kind = levels[lvl], kinds[lvl]
+    nz2 = lev.so.shape[3] // 2
+    with scope("relaxation"):
+        for _ in range(settings.nrelax_pre - 1):
+            x4 = p3s.point_relax_split3(lev.so2, x4, b4, kind, "down",
+                                        nz2=nz2)
+    coarse = levels[lvl + 1]
+    cshape = coarse.so.shape[1:]
+    # when the fused interp+sweep pass fits, the residual never touches
+    # HBM; otherwise the pointwise interp kernel consumes the emitted one
+    fused_interp = p3s.interp_fused_ok(kind, b4.shape[2], b4.shape[1])
+    with scope("relaxation-residual-restrict-fused"):
+        x4, res4, cb = p3s.sweep_restrict_split3(
+            lev.so2, x4, b4, coarse.pw4, kind, "down", cshape,
+            emit_res=not fused_interp, nz2=nz2,
+        )
+
+    if lvl + 1 == len(levels) - 1:
+        with scope("coarse-solve"):
+            if coarse.inner is not None:
+                cx = _coarse_solve_inner(coarse, cb, settings, periodic)
+            else:
+                cx = cg.solve_cg(coarse.ainv, cb)
+    elif _split_ok_at(levels, lvl + 1):
+        dims = p3s.split_dims3(*cshape)
+        cb4 = p3s.split4(cb, dims)
+        cx4, _ = ncycle_split(levels, kinds, jnp.zeros_like(cb4), cb4,
+                              settings, periodic, False, lvl + 1)
+        cx = p3s.merge4(cx4, *cshape)
+    else:
+        cx = ncycle(levels, kinds, lvl + 1, jnp.zeros_like(cb), cb,
+                    settings, periodic)
+
+    post = "up" if settings.relax_symmetric else "down"
+    fuse_here = fuse_final_residual and settings.nrelax_post == 1
+    with scope("interp-add-relax-fused"):
+        out = p3s.interp_sweep_split3(
+            coarse.pw4, cx, lev.so2, b4, x4, kind, post,
+            fuse_norm=fuse_here, nz2=nz2, res4=res4,
+        )
+    if fuse_here:
+        return out
+    x4 = out
+    n_plain = settings.nrelax_post - 1 - (1 if fuse_final_residual else 0)
+    with scope("relaxation"):
+        for _ in range(n_plain):
+            x4 = p3s.point_relax_split3(lev.so2, x4, b4, kind, post,
+                                        nz2=nz2)
+    if fuse_final_residual:
+        with scope("relaxation-residual-fused"):
+            return p3s.point_relax_split3(
+                lev.so2, x4, b4, kind, post, fuse_norm=True, nz2=nz2
+            )
+    return x4, None
+
+
 def fuse_final_ok(levels, kinds, shape, dtype, settings: MLSettings,
                   periodic, constraints) -> bool:
     """Whether the top level's last post-sweep can fuse the convergence
@@ -258,5 +365,18 @@ def run_cycle(levels, kinds, x, b, settings: MLSettings, periodic,
     if settings.cycle.value == "f":
         return fmg_cycle(levels, kinds, 0, b, settings, periodic,
                          constraints)
+    if fine_split_ok(levels, settings, constraints):
+        # standalone-cycle entry pays one split + merge; the solve loop
+        # (solver3._solve_impl) instead keeps q split-resident across
+        # iterations and calls ncycle_split directly
+        from cedar_tpu.ops import pallas3_split as p3s
+
+        shape = b.shape
+        dims = p3s.split_dims3(*shape)
+        x4, _ = ncycle_split(
+            levels, kinds, p3s.split4(x, dims), p3s.split4(b, dims),
+            settings, periodic,
+        )
+        return p3s.merge4(x4, *shape)
     return ncycle(levels, kinds, 0, x, b, settings, periodic, 1,
                   constraints)

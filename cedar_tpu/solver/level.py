@@ -32,5 +32,10 @@ class Level(NamedTuple):
     #                                           transfer kernels)
     rec2: Optional[jnp.ndarray] = None        # lane-split 1/diag (2D Pallas
     #                                           transfer kernels)
-    so2: Optional[jnp.ndarray] = None         # lane-parity-split stencil
-    #                              (fine-level split-resident Pallas path)
+    so2: Optional[jnp.ndarray] = None         # parity-split stencil for the
+    #                  split-resident Pallas path: 2D lane-parity (2, nxp, W)
+    #                  layout (ops.pallas2_split) or 3D octant (ndir, 4,
+    #                  nxp, kp) layout (ops.pallas3_split)
+    pw4: Optional[jnp.ndarray] = None         # 3D split-transfer weights
+    #                  (26, rows, kp), interpolating this level -> the finer
+    #                  one (ops.pallas3_split.setup_pw4)

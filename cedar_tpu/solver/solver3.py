@@ -91,18 +91,55 @@ def setup_hierarchy(
     def _pw3_field(lvl):
         from cedar_tpu.ops import pallas_transfer3 as pt
 
+        if lvl >= 1 and _split_ok(lvl - 1):
+            return None          # the split path supersedes the dense
+            # Pallas restriction on this level pair (pw4 carries the
+            # weights; keeping both would double the weight HBM)
         fine_shape = sos[lvl - 1].shape[1:]
         if lvl >= 1 and use_pt and pt.supported(fine_shape,
                                                 sos[lvl - 1].dtype):
             return pt.setup_pw3(cis[lvl], fine_shape)
         return None
 
+    # octant-split workspaces for the split-resident cycle
+    # (ops.pallas3_split): so4 on each split level, the stacked
+    # per-coarse-point weight planes on its coarse level
+    def _split_ok(lvl):
+        from cedar_tpu.ops import pallas3_split as p3s
+
+        return (
+            lvl < max(getattr(settings, "split_levels", 2), 1)
+            and lvl < nlevels - 1
+            and use_pt
+            and getattr(settings, "fine_split", True)
+            and point
+            and p3s.supported(sos[lvl].shape[1:], sos[lvl].dtype,
+                              kinds[lvl])
+        )
+
+    def _so4_field(lvl):
+        from cedar_tpu.ops import pallas3_split as p3s
+
+        if not _split_ok(lvl):
+            return None
+        return p3s.split_so4(sos[lvl], kinds[lvl],
+                             p3s.split_dims3(*sos[lvl].shape[1:]))
+
+    def _pw4_field(lvl):
+        from cedar_tpu.ops import pallas3_split as p3s
+
+        if lvl < 1 or not _split_ok(lvl - 1):
+            return None
+        return p3s.setup_pw4(cis[lvl], sos[lvl - 1].shape[1:],
+                             kinds[lvl - 1])
+
     levels = []
     for lvl in range(nlevels):
         if lvl < nlevels - 1:
             recip = _recip_j(sos[lvl]) if point else None
             levels.append(Level(so=sos[lvl], recip=recip, ci=cis[lvl],
-                                cip=_pw3_field(lvl)))
+                                cip=_pw3_field(lvl), so2=_so4_field(lvl),
+                                pw4=_pw4_field(lvl)))
         else:
             if settings.coarse_solver != CGType.lu and nlevels > 1:
                 # cg-solver "cedar"/"redist": inner multigrid on the
@@ -117,14 +154,16 @@ def setup_hierarchy(
                     periodic, indefinite,
                 )
                 levels.append(Level(so=sos[lvl], ci=cis[lvl], inner=inner,
-                                    cip=_pw3_field(lvl)))
+                                    cip=_pw3_field(lvl),
+                                    pw4=_pw4_field(lvl)))
             else:
                 ainv = _cg_j(
                     sos[lvl], kind=kinds[lvl], periodic=periodic,
                     indefinite=indefinite,
                 )
                 levels.append(Level(so=sos[lvl], ci=cis[lvl], ainv=ainv,
-                                    cip=_pw3_field(lvl)))
+                                    cip=_pw3_field(lvl),
+                                    pw4=_pw4_field(lvl)))
     return tuple(levels)
 
 
@@ -169,6 +208,12 @@ class Solver3:
             )
             kb = "pallas" if on_tpu else "xla"
         self.settings.kernel_backend = kb
+        # octant-split resident cycle: on wherever the Pallas sweeps run
+        # (further shape/config gates live in cycle3.fine_split_ok /
+        # pallas3_split.supported)
+        self.settings.fine_split = bool(conf.get("kernels.fine-split",
+                                                 kb == "pallas"))
+        self.settings.split_levels = int(conf.get("kernels.split-levels", 4))
         # embedded plane solvers inherit the resolved backend unless their
         # plane-config pins one: with the fused batched line-xy smooth
         # (ops/pallas_planes2.py) the pallas plane path measures 14.3 vs
@@ -247,6 +292,39 @@ class Solver3:
         hist0 = jnp.full((maxiter,), jnp.nan, b.dtype)
 
         from cedar_tpu.solver import cycle3
+
+        if cycle3.fine_split_ok(levels, settings, self.constraints):
+            # fine level octant-split resident across the WHOLE solve:
+            # one split of b and x0 going in, one merge coming out, and
+            # the last post-sweep of each cycle fuses the convergence
+            # residual NORM — zero per-iteration layout or residual
+            # passes (3D analogue of solver2's split loop)
+            from cedar_tpu.ops import pallas3_split as p3s
+
+            shape = b.shape
+            dims = p3s.split_dims3(*shape)
+            b4 = p3s.split4(b, dims)
+            x40 = p3s.split4(x0, dims)
+
+            def cond_s(carry):
+                i, x4, rel, hist = carry
+                return (i < maxiter) & (rel >= settings.tol)
+
+            def body_s(carry):
+                i, x4, rel, hist = carry
+                x4, normsq = cycle3.ncycle_split(
+                    levels, self.kinds, x4, b4, settings, self.periodic,
+                    fuse_final_residual=True,
+                )
+                rel = jnp.sqrt(jnp.sum(normsq)) / res0
+                hist = hist.at[i].set(rel)
+                return i + 1, x4, rel, hist
+
+            rel0_s = jnp.asarray(jnp.inf, b.dtype)
+            iters, x4, rel, hist = jax.lax.while_loop(
+                cond_s, body_s, (0, x40, rel0_s, hist0)
+            )
+            return p3s.merge4(x4, *shape), hist, iters, res0
 
         # fuse the convergence residual into the last post-sweep when the
         # Pallas sweep can emit it (one HBM pass fewer per iteration)

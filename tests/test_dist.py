@@ -133,16 +133,44 @@ def test_dist3_matches_serial(mesh3):
 
 
 def test_dist2_irregular_size(mesh2):
-    """Non-divisible fine extents: axes fall back to replication but the
-    solve still distributes what it can and stays correct."""
+    """Non-divisible fine extents are inert-padded to the mesh (the
+    TPU-native analogue of the reference's uneven block partition,
+    include/cedar/mpi/block_partition.h:8-34) — the fine level is
+    actually sharded, and the solve stays correct."""
     n = 75
     so = gallery.poisson(n, 64)
     b = gallery.poisson_rhs(n, 64)
     s_dist = DistSolver2(so, FivePt, Config(CONF), mesh2)
+    assert s_dist.shapes[0][0] % mesh2.shape["x"] == 0  # padded
+    assert s_dist.specs[0][0] == "x"                    # and sharded
     x = s_dist.solve(b)
+    assert x.shape == (n, 64)
     r = residual2(so, jax.device_get(x), b, FivePt)
     rel = float(jnp.sqrt(jnp.sum(r * r)) / jnp.sqrt(jnp.sum(b * b)))
     assert rel < 1e-9
+
+
+def test_dist2_odd_extent_partitioned_matches_serial(mesh2):
+    """Canonical 2^k+1 MG sizing (odd extents): the inert padding keeps
+    the fine AND first coarse level partitioned, and the padded solve's
+    trajectory on the real region equals the serial solver's (pad rows
+    are decoupled: zero couplings, unit diagonal).  Reference behavior:
+    parity-aware uneven partition, 2d/mpi/solver.h:176-196."""
+    n = 129
+    so = gallery.poisson(n, n)
+    b = gallery.poisson_rhs(n, n)
+    s_ser = Solver2(so, FivePt, Config(CONF))
+    x_ser = s_ser.solve(b)
+    s_dist = DistSolver2(so, FivePt, Config(CONF), mesh2)
+    # padded to a multiple of 2*mesh_dim: fine and L1 actually partitioned
+    assert s_dist.shapes[0] == (136, 132)
+    assert s_dist.specs[0] == P("x", "y")
+    assert s_dist.specs[1][0] == "x" or s_dist.specs[1][1] == "y"
+    assert len(s_dist.levels) == len(s_ser.levels)
+    x_dist = s_dist.solve(b)
+    assert x_dist.shape == (n, n)
+    assert s_dist.history == pytest.approx(s_ser.history, rel=1e-10)
+    assert float(jnp.max(jnp.abs(x_ser - jax.device_get(x_dist)))) < 1e-10
 
 
 def test_dist3_plane_relax_matches_serial(mesh3):

@@ -57,7 +57,9 @@ from cedar_tpu.ops.interp3 import PW3_TABLE, pw_weights
 
 INTERPRET = False
 
-_VMEM_BUDGET = 126 * 1024 * 1024   # planning budget (streams + temps)
+_VMEM_BUDGET = 108 * 1024 * 1024   # planning budget, calibrated on
+# v5e: the 27-pt two-pass sweep (model 103M) compiles; its fused
+# restrict tail (model 113M) overflows the 120M scoped limit
 
 # weight-plane offset order = the XLA restrict/interp term order
 # (PW3_TABLE preserves interp3.DELTA's insertion order)
@@ -134,9 +136,10 @@ def supported(shape, dtype, kind) -> bool:
     nxp, ny2, nz2, kp = dims
     if shape[0] < 32 or kp < 512:
         return False            # tiny grids: call overhead beats the win
-    # the fused interp+sweep plan is optional: when it does not fit, the
-    # cycle emits the residual and takes the pointwise interp kernel
-    return _plan_split(kind, kp, "sweep_restrict", nxp) is not None
+    # the fused restrict/interp plans are optional: when they do not fit,
+    # the cycle emits the residual and takes the standalone restriction
+    # and pointwise interpolation kernels
+    return _plan_split(kind, kp, "sweep", nxp) is not None
 
 
 def split4(a: jnp.ndarray, dims) -> jnp.ndarray:
@@ -712,18 +715,76 @@ def _sweep_restrict_call3(so4, q4, b4, pw4, kind, updown, nz2, lo, hi,
     return q_out, (res if emit_res else None), cb
 
 
+def _restrict_kernel3(res_m, res_t, res_b, w_m, cb_m, *, T, H, nz2):
+    """Standalone restriction of an emitted split residual (term order =
+    interp3.restrict).  Used when the fused sweep+restrict pass exceeds
+    VMEM (27-pt at >= 128^3 — measured 127.4M vs the 120M scoped
+    limit)."""
+    res = jnp.concatenate([res_t[...], res_m[...], res_b[...]], axis=1)
+    res_oct = _OctantField(res)
+    h2, Tc = H // 2, T // 2
+    w = w_m[...]
+    qc = _sample_res(res_oct, (0, 0, 0), nz2, h2, Tc)
+    for n, off in enumerate(_OFFSETS26):
+        qc = qc + w[n] * _sample_res(res_oct, off, nz2, h2, Tc)
+    cb_m[...] = qc
+
+
+@functools.partial(jax.jit, static_argnames=("nz2", "T"))
+def _restrict_call3(pw4, res4, nz2, T):
+    _, nxp, kp = res4.shape
+    H = 8
+    assert nxp % T == 0 and T % H == 0 and (T // 2) % 8 == 0
+    nb = nxp // T
+    nbh = nxp // H - 1
+    Tc = T // 2
+    _, _, _, mid, top, bot = _fine_specs(0, T, H, kp)
+
+    kernel = functools.partial(_restrict_kernel3, T=T, H=H, nz2=nz2)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((4, T, kp), mid),
+            pl.BlockSpec((4, H, kp), top),
+            pl.BlockSpec((4, H, kp), functools.partial(bot, nb=nbh)),
+            pl.BlockSpec((26, Tc, kp), lambda i: (0, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((Tc, kp), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((nxp // 2, kp), res4.dtype),
+        compiler_params=_vmem_params(),
+        interpret=INTERPRET,
+    )(res4, res4, res4, pw4)
+
+
 def sweep_restrict_split3(so4, q4, b4, pw4, kind, updown, nc,
                           emit_res=True, nz2=None):
     """Fused final pre-sweep + residual + restriction, split layout.
 
     Returns ``(q4, res4, cb)`` with ``cb`` the DENSE coarse rhs
     (nxc, nyc, nzc).  With ``emit_res=False`` the residual never touches
-    HBM (interp_sweep_split3 recomputes it).  ULP-level agreement with
-    ``point_relax_split3(fuse_residual)`` + ``interp3.restrict``.
+    HBM (interp_sweep_split3 recomputes it) — fused plan only; when the
+    fused tail pass exceeds VMEM the residual is emitted regardless and
+    a standalone restriction kernel consumes it.  ULP-level agreement
+    with ``point_relax_split3(fuse_residual)`` + ``interp3.restrict``.
     Reference: BMG3_SymStd_relax_GS.f90 + BMG3_SymStd_restrict.f90."""
     assert nz2 is not None
-    kp = q4.shape[2]
-    plan = _plan_split(kind, kp, "sweep_restrict", q4.shape[1])
+    _, nxp, kp = q4.shape
+    plan = _plan_split(kind, kp, "sweep_restrict", nxp)
+    nxc, nyc, nzc = nc
+    ny2 = kp // nz2
+
+    def crop(cbf):
+        return cbf[:nxc].reshape(-1, ny2, nz2)[:, :nyc, :nzc]
+
+    if plan is None:
+        # emit the residual from the sweep, restrict standalone
+        q4, res = point_relax_split3(so4, q4, b4, kind, updown,
+                                     fuse_residual=True, nz2=nz2)
+        T = next(t for t in (64, 32, 16) if nxp % t == 0)
+        cbf = _restrict_call3(pw4, res, nz2, T)
+        return q4, res, crop(cbf)
+
     res = None
     for n, (lo, hi, H, T) in enumerate(plan):
         if n < len(plan) - 1:
@@ -734,10 +795,7 @@ def sweep_restrict_split3(so4, q4, b4, pw4, kind, updown, nc,
                 so4, q4, b4, pw4, kind, updown, nz2, lo, hi, H, T,
                 emit_res,
             )
-    nxc, nyc, nzc = nc
-    ny2 = kp // nz2
-    cb = cbf[:nxc].reshape(-1, ny2, nz2)[:, :nyc, :nzc]
-    return q4, res, cb
+    return q4, res, crop(cbf)
 
 
 @functools.partial(

@@ -21,6 +21,60 @@ jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 import pytest  # noqa: E402
 
+# Extended ("slow") tier: heavyweight compile-bound variants whose feature
+# coverage is duplicated by a cheaper test kept in the default tier.  The
+# machine has ONE CPU core, so whole-solver compiles dominate wall time;
+# the default `pytest tests/` deselects these (pytest.ini addopts) and the
+# extended tier runs with `pytest -m slow` (or everything: `pytest -m ""`).
+# Fast representative kept in the default tier, per marked test:
+#   dist_solver_pallas_backend_matches_xla -> test_sharded_sweep_* (kernel
+#     level) + test_dist2_matches_serial (solver level)
+#   sharded_sweep_2d spec1/2/3 -> spec0 (both parities) + the 3D variant
+#   line_relax_dist_interface_reduction / sharded_along_line ->
+#     test_ml_relax_disables... exercises dist lines; serial SPIKE/PCR
+#     equivalence stays in test_lines_2d
+#   dist3_plane_relax_matches_serial -> serial plane oracles + dist3 point
+#   anisotropic_line_y -> anisotropic_line_x (transpose of the same path)
+#   cgsolve_lu_vs_cedar_3d -> the 2D variant + 3D redist dryrun
+#   fused_conv_residual_3d -> the 2D variant + pallas3 fused-residual tests
+#   poisson*_irregular_sizes -> dist2_irregular (padding) + serial gates
+#   plane_xy_anisotropic_convergence -> plane oracle + plane_xyz_poisson
+#   line_solver_backend_equivalence[line-x] -> [line-xy] (superset)
+#   pallas3_2d_tiled_27pt_rounded_halo -> ..._xsplit (same kernel family)
+#   split_levels_2_solver_equivalence -> solver_split_resident (L0 split)
+SLOW_TIER = {
+    "test_dist_solver_pallas_backend_matches_xla",
+    "test_sharded_sweep_matches_xla_2d[spec1-True]",
+    "test_sharded_sweep_matches_xla_2d[spec1-False]",
+    "test_sharded_sweep_matches_xla_2d[spec2-True]",
+    "test_sharded_sweep_matches_xla_2d[spec2-False]",
+    "test_sharded_sweep_matches_xla_2d[spec3-True]",
+    "test_sharded_sweep_matches_xla_2d[spec3-False]",
+    "test_line_relax_dist_interface_reduction",
+    "test_line_relax_sharded_along_line_axis",
+    "test_dist3_plane_relax_matches_serial",
+    "test_ml_relax_knob_selects_log_depth_algorithm",
+    "test_anisotropic_line_y",
+    "test_spike_matches_pcr_sweep",
+    "test_cgsolve_lu_vs_cedar_3d",
+    "test_fused_conv_residual_3d",
+    "test_poisson3_irregular_sizes",
+    "test_poisson_irregular_sizes",
+    "test_plane_xy_anisotropic_convergence",
+    "test_line_solver_backend_equivalence[line-x]",
+    "test_pallas3_2d_tiled_27pt_rounded_halo",
+    "test_split_levels_2_solver_equivalence",
+    # mesh-shape sweep: the (2,4) skew stays in the default tier
+    "test_dist2_mesh_shape_diversity[shape0]",
+    "test_dist2_mesh_shape_diversity[shape2]",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name in SLOW_TIER:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def cpu_devices():

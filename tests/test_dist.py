@@ -247,6 +247,36 @@ def test_ml_relax_disables_dist_interface_reduction(mesh2):
     np.testing.assert_allclose(np.asarray(xs), np.asarray(xd), atol=1e-10)
 
 
+def test_dist2_periodic_matches_serial(mesh2):
+    """Sharded periodic solve: the wrap reads become collective permutes
+    across the mesh edge (the reference's periodic halo masks,
+    test/2d/mpi/test_halo.h:117-179), and the solve matches serial."""
+    n = 64
+    so = gallery.poisson(n, n)
+    b = gallery.poisson_rhs(n, n)
+    conf = {"log": [], "solver": {"tol": 1e-8, "max-iter": 20},
+            "grid": {"periodic": [True, True]}}
+    xs = Solver2(so, FivePt, Config(dict(conf))).solve(b)
+    sd = DistSolver2(so, FivePt, Config(dict(conf)), mesh2)
+    assert sd.specs[0] == P("x", "y")
+    xd = sd.solve(b)
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(xd), atol=1e-11)
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (2, 4), (1, 8)])
+def test_dist2_mesh_shape_diversity(shape):
+    """Skewed/degenerate process grids (the reference sweeps {3x3,3x2,2x3},
+    test_halo.h): the solve matches serial on every mesh shape."""
+    m = make_mesh(2, devices=jax.devices("cpu"), shape=shape)
+    n = 64
+    so = gallery.poisson(n, n)
+    b = gallery.poisson_rhs(n, n)
+    xs = Solver2(so, FivePt, Config(CONF)).solve(b)
+    sd = DistSolver2(so, FivePt, Config(CONF), m)
+    xd = sd.solve(b)
+    assert float(jnp.max(jnp.abs(xs - jax.device_get(xd)))) < 1e-11
+
+
 def test_manual_redist_path_end_to_end(mesh2):
     """redist.search.strategy "manual": the per-level process-grid path
     (reference: test/2d/mpi/test-cgredist-1.json, path entries map to

@@ -76,15 +76,19 @@ def main(n=128, twenty_seven=True):
     ms = timed_loop(swre, q40, so4, b4, pw4)
     rep("split sweep+restrict", ms, nd + 3 + 26 // 8)
 
+    fused = p3s.interp_fused_ok(kind, kp, nxp)
+    print("interp fused:", fused, flush=True)
+    res4 = None if fused else p3s.split4(b, dims)
+
     def isw(q4, so4, b4, pw4, cx):
         return p3s.interp_sweep_split3(pw4, cx, so4, b4, q4, kind, "down",
-                                       nz2=nz2)
+                                       nz2=nz2, res4=res4)
     ms = timed_loop(isw, q40, so4, b4, pw4, cx)
     rep("split interp+sweep", ms, nd + 3 + 27 // 8)
 
     def iswn(q4, so4, b4, pw4, cx):
         q, _ = p3s.interp_sweep_split3(pw4, cx, so4, b4, q4, kind, "down",
-                                       fuse_norm=True, nz2=nz2)
+                                       fuse_norm=True, nz2=nz2, res4=res4)
         return q
     ms = timed_loop(iswn, q40, so4, b4, pw4, cx)
     rep("split interp+sweep+nrm", ms, nd + 3 + 27 // 8)

@@ -158,6 +158,10 @@ def main():
     dof_s = n * n / dt
     sol_time = vcycle_traffic_bytes(n, n) / 819e9  # v5e HBM peak
     frac_sol = sol_time / dt
+    # fraction of the MEASURED achievable copy bandwidth (~650 GB/s on
+    # this v5e via tools/probe_bw.py) — vs_baseline divides by the 819
+    # GB/s spec, whose realistic ceiling is ~0.80 (NOTES.md)
+    frac_ach = vcycle_traffic_bytes(n, n) / 650e9 / dt
 
     print(json.dumps({
         "metric": "2d_poisson_vcycle_dof_per_s_per_chip",
@@ -168,6 +172,7 @@ def main():
             "grid": [n, n],
             "dtype": "float32",
             "cycle_ms": round(dt * 1e3, 4),
+            "vs_achievable_bw": round(frac_ach, 4),
             "matches_reference_history_400sq_f64": hist_ok,
             "device": str(jax.devices()[0]),
         },

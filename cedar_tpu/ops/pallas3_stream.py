@@ -51,10 +51,15 @@ INTERPRET = False
 
 
 def _params(kind: StencilKind, emit: str):
-    """(P, S, Pp): phases, finish stage, carry rows (even)."""
+    """(P, S, Pp): phases, finish stage, carry rows.
+
+    The carry must reach ONE row below the deepest stage's update range
+    (its w-1 neighbor read; a window roll would wrap to the newest rows),
+    so Pp = P + 1 rounded to even (octant x-parity alignment) — which
+    also covers the residual stage's own range."""
     P = 2 if kind == StencilKind.seven_pt else 8
     S = P + (1 if emit in ("res", "norm") else 0)
-    Pp = -(-S // 2) * 2
+    Pp = -(-(P + 1) // 2) * 2
     return P, S, Pp
 
 
@@ -278,7 +283,41 @@ def point_relax_stream3(so4, q4, b4, kind, updown, fuse_residual=False,
     _, nxp, kp = q4.shape
     emit = "norm" if fuse_norm else ("res" if fuse_residual else "none")
     T = _pick_t(kind, kp, nxp)
-    out = _stream_call3(so4, q4, b4, kind, updown, nz2, T, emit)
-    if emit == "none":
-        return out
-    return out
+    return _stream_call3(so4, q4, b4, kind, updown, nz2, T, emit)
+
+
+def sweep_restrict_stream3(so4, q4, b4, pw4, kind, updown, nc, nz2=None):
+    """Streaming pre-sweep (residual emitted in the same pass) + the
+    standalone split-layout restriction.  Returns (q4, res4, cb)."""
+    from cedar_tpu.ops.pallas3_split import _restrict_call3
+
+    assert nz2 is not None
+    _, nxp, kp = q4.shape
+    q4, res = point_relax_stream3(so4, q4, b4, kind, updown,
+                                  fuse_residual=True, nz2=nz2)
+    T = next(t for t in (64, 32, 16) if nxp % t == 0)
+    cbf = _restrict_call3(pw4, res, nz2, T)
+    nxc, nyc, nzc = nc
+    ny2 = kp // nz2
+    cb = cbf[:nxc].reshape(-1, ny2, nz2)[:, :nyc, :nzc]
+    return q4, res, cb
+
+
+def interp_sweep_stream3(pw4, cx, so4, b4, q4_presmoothed, kind, updown,
+                         res4, fuse_norm=False, nz2=None):
+    """Pointwise interpolation (from the emitted residual) + streaming
+    post-sweep (+ fused convergence norm)."""
+    from cedar_tpu.ops.pallas3_split import _interp_call3
+
+    assert nz2 is not None and res4 is not None
+    q4 = q4_presmoothed
+    _, nxp, kp = q4.shape
+    ny2 = kp // nz2
+    rows = nxp // 2 + 2 * 16
+    nxc, nyc, nzc = cx.shape
+    cxp = jnp.pad(cx, ((0, rows - nxc), (0, ny2 - nyc), (0, nz2 - nzc)))
+    cxp = cxp.reshape(rows, kp)
+    T = next(t for t in (64, 32, 16) if nxp % t == 0)
+    q4 = _interp_call3(pw4, cxp, so4[Dir3.P], res4, q4, nz2, T)
+    return point_relax_stream3(so4, q4, b4, kind, updown,
+                               fuse_norm=fuse_norm, nz2=nz2)

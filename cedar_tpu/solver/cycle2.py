@@ -402,21 +402,53 @@ def fmg_cycle(
     periodic=(False, False),
     constraints=None,
 ):
-    """Full multigrid cycle (reference: fcycle.h:49-84).  Returns x."""
+    """Full multigrid cycle (reference: fcycle.h:49-84).  Returns x.
+
+    Routed through the fast kernels where the workspaces exist: the
+    initial b-restriction chain and the first interpolation take the
+    Pallas transfer kernels, and the per-level correction V-cycle runs
+    split-resident on split-capable levels."""
+    lev = levels[lvl]
     if lvl == len(levels) - 1:
-        if levels[lvl].inner is not None:
-            return _coarse_solve_inner(levels[lvl], b, settings, periodic)
-        return cg.solve_cg(levels[lvl].ainv, b)
+        if lev.inner is not None:
+            return _coarse_solve_inner(lev, b, settings, periodic)
+        return cg.solve_cg(lev.ainv, b)
     coarse = levels[lvl + 1]
-    cb = restrict(coarse.ci, b, periodic)
+    use_pt = (
+        coarse.cip is not None and lev.rec2 is not None
+        and constraints is None
+    )
+    if use_pt:
+        from cedar_tpu.ops import pallas_transfer2 as pt
+
+        b2 = pt.lane_split_res(b)
+        cb = pt.restrict(coarse.cip, b2, coarse.so.shape[1:])
+    else:
+        cb = restrict(coarse.ci, b, periodic)
     if constraints is not None:
         cb = jax.lax.with_sharding_constraint(cb, constraints[lvl + 1])
     cx = fmg_cycle(levels, kinds, lvl + 1, cb, settings, periodic,
                    constraints)
-    zero_res = jnp.zeros_like(b)
-    x = interp_add(
-        coarse.ci, levels[lvl].so, cx, zero_res, jnp.zeros_like(b), periodic
-    )
+    zero = jnp.zeros_like(b)
+    if use_pt:
+        from cedar_tpu.ops import pallas_transfer2 as pt
+
+        # zero residual: the res/diag correction vanishes exactly
+        x = pt.interp_add(coarse.cip, lev.rec2, cx, pt.lane_split_res(zero),
+                          zero)
+    else:
+        x = interp_add(coarse.ci, lev.so, cx, zero, zero, periodic)
+    if constraints is None and _split_ok_at(levels, lvl) \
+            and settings.relaxation == RelaxType.point \
+            and settings.nrelax_pre >= 1 and settings.nrelax_post >= 1:
+        from cedar_tpu.ops import pallas2_split as ps
+
+        nx, ny = b.shape
+        nxp, W, _ = ps.split_dims(nx, ny)
+        x2, _ = ncycle_split(levels, kinds, ps.lane_split(x, nxp, W),
+                             ps.lane_split(b, nxp, W), settings, periodic,
+                             lvl=lvl)
+        return ps.lane_merge(x2, nx, ny)
     return ncycle(levels, kinds, lvl, x, b, settings, periodic, 1,
                   constraints)
 

@@ -172,22 +172,41 @@ def ncycle_split(
     ``partials`` are per-block partial sums of res²."""
     from cedar_tpu.ops import pallas3_split as p3s
 
+    from cedar_tpu.ops import pallas3_stream as p3st
+
     lev, kind = levels[lvl], kinds[lvl]
     nz2 = lev.so.shape[3] // 2
+    # the streaming (wavefront) kernels read every operand exactly once
+    # per sweep — prefer them wherever they fit VMEM
+    stream = p3st.stream_supported(b4.shape, kind)
+
+    def sweep(x4, ud, **kw):
+        if stream:
+            return p3st.point_relax_stream3(lev.so2, x4, b4, kind, ud,
+                                            nz2=nz2, **kw)
+        return p3s.point_relax_split3(lev.so2, x4, b4, kind, ud,
+                                      nz2=nz2, **kw)
+
     with scope("relaxation"):
         for _ in range(settings.nrelax_pre - 1):
-            x4 = p3s.point_relax_split3(lev.so2, x4, b4, kind, "down",
-                                        nz2=nz2)
+            x4 = sweep(x4, "down")
     coarse = levels[lvl + 1]
     cshape = coarse.so.shape[1:]
     # when the fused interp+sweep pass fits, the residual never touches
     # HBM; otherwise the pointwise interp kernel consumes the emitted one
-    fused_interp = p3s.interp_fused_ok(kind, b4.shape[2], b4.shape[1])
+    fused_interp = (not stream
+                    and p3s.interp_fused_ok(kind, b4.shape[2], b4.shape[1]))
     with scope("relaxation-residual-restrict-fused"):
-        x4, res4, cb = p3s.sweep_restrict_split3(
-            lev.so2, x4, b4, coarse.pw4, kind, "down", cshape,
-            emit_res=not fused_interp, nz2=nz2,
-        )
+        if stream:
+            x4, res4, cb = p3st.sweep_restrict_stream3(
+                lev.so2, x4, b4, coarse.pw4, kind, "down", cshape,
+                nz2=nz2,
+            )
+        else:
+            x4, res4, cb = p3s.sweep_restrict_split3(
+                lev.so2, x4, b4, coarse.pw4, kind, "down", cshape,
+                emit_res=not fused_interp, nz2=nz2,
+            )
 
     if lvl + 1 == len(levels) - 1:
         with scope("coarse-solve"):
@@ -208,23 +227,26 @@ def ncycle_split(
     post = "up" if settings.relax_symmetric else "down"
     fuse_here = fuse_final_residual and settings.nrelax_post == 1
     with scope("interp-add-relax-fused"):
-        out = p3s.interp_sweep_split3(
-            coarse.pw4, cx, lev.so2, b4, x4, kind, post,
-            fuse_norm=fuse_here, nz2=nz2, res4=res4,
-        )
+        if stream:
+            out = p3st.interp_sweep_stream3(
+                coarse.pw4, cx, lev.so2, b4, x4, kind, post, res4,
+                fuse_norm=fuse_here, nz2=nz2,
+            )
+        else:
+            out = p3s.interp_sweep_split3(
+                coarse.pw4, cx, lev.so2, b4, x4, kind, post,
+                fuse_norm=fuse_here, nz2=nz2, res4=res4,
+            )
     if fuse_here:
         return out
     x4 = out
     n_plain = settings.nrelax_post - 1 - (1 if fuse_final_residual else 0)
     with scope("relaxation"):
         for _ in range(n_plain):
-            x4 = p3s.point_relax_split3(lev.so2, x4, b4, kind, post,
-                                        nz2=nz2)
+            x4 = sweep(x4, post)
     if fuse_final_residual:
         with scope("relaxation-residual-fused"):
-            return p3s.point_relax_split3(
-                lev.so2, x4, b4, kind, post, fuse_norm=True, nz2=nz2
-            )
+            return sweep(x4, post, fuse_norm=True)
     return x4, None
 
 
@@ -340,19 +362,55 @@ def fmg_cycle(
     periodic=(False, False, False),
     constraints=None,
 ):
-    """Full multigrid cycle (reference: fcycle.h:49-84).  Returns x."""
+    """Full multigrid cycle (reference: fcycle.h:49-84).  Returns x.
+
+    Routed through the fast kernels where workspaces exist: the
+    b-restriction chain takes the Pallas restriction (the split-layout
+    one on split-capable levels, the dense hybrid otherwise), and the
+    per-level correction V-cycle runs split-resident when it can."""
+    lev = levels[lvl]
     if lvl == len(levels) - 1:
-        if levels[lvl].inner is not None:
-            return _coarse_solve_inner(levels[lvl], b, settings, periodic)
-        return cg.solve_cg(levels[lvl].ainv, b)
+        if lev.inner is not None:
+            return _coarse_solve_inner(lev, b, settings, periodic)
+        return cg.solve_cg(lev.ainv, b)
     coarse = levels[lvl + 1]
-    cb = restrict(coarse.ci, b, periodic)
+    split_here = (
+        constraints is None and _split_ok_at(levels, lvl)
+        and settings.relaxation == RelaxType.point
+        and settings.nrelax_pre >= 1 and settings.nrelax_post >= 1
+    )
+    if split_here:
+        from cedar_tpu.ops import pallas3_split as p3s
+
+        dims = p3s.split_dims3(*b.shape)
+        nz2 = dims[2]
+        b4 = p3s.split4(b, dims)
+        cbf = p3s._restrict_call3(
+            coarse.pw4, b4, nz2,
+            next(t for t in (64, 32, 16) if dims[0] % t == 0),
+        )
+        nxc, nyc, nzc = coarse.so.shape[1:]
+        cb = cbf[:nxc].reshape(-1, dims[1], nz2)[:, :nyc, :nzc]
+    elif coarse.cip is not None and constraints is None:
+        from cedar_tpu.ops import pallas_transfer3 as pt
+
+        cb = pt.restrict(coarse.cip, pt.split_res(b),
+                         coarse.so.shape[1:])
+    else:
+        cb = restrict(coarse.ci, b, periodic)
     if constraints is not None:
         cb = jax.lax.with_sharding_constraint(cb, constraints[lvl + 1])
     cx = fmg_cycle(levels, kinds, lvl + 1, cb, settings, periodic,
                    constraints)
     zero = jnp.zeros_like(b)
-    x = interp_add(coarse.ci, levels[lvl].so, cx, zero, zero, periodic)
+    x = interp_add(coarse.ci, lev.so, cx, zero, zero, periodic)
+    if split_here:
+        from cedar_tpu.ops import pallas3_split as p3s
+
+        dims = p3s.split_dims3(*b.shape)
+        x4, _ = ncycle_split(levels, kinds, p3s.split4(x, dims), b4,
+                             settings, periodic, lvl=lvl)
+        return p3s.merge4(x4, *b.shape)
     return ncycle(levels, kinds, lvl, x, b, settings, periodic, 1,
                   constraints)
 

@@ -1,0 +1,121 @@
+"""Streaming (wavefront) 3D sweep (ops.pallas3_stream) vs the XLA path.
+
+Interpret-mode on CPU; the wavefront schedule must reproduce the masked
+full-grid sweep row-for-row (phase s of row r sees exactly the
+phase-(s-1) state of its neighbors)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cedar_tpu.core.types import StencilKind
+from cedar_tpu.ops import pallas3_split as p3s
+from cedar_tpu.ops import pallas3_stream as p3st
+from cedar_tpu.ops.relax3 import point_relax, setup_recip
+from cedar_tpu.ops.stencil3 import residual
+from cedar_tpu.ops.interp3 import interp_add, restrict, setup_interp
+
+from test_kernels_3d import random_so
+
+
+def _on_tpu() -> bool:
+    dd = jax.config.jax_default_device
+    if dd is not None:
+        return dd.platform == "tpu"
+    return jax.default_backend() == "tpu"
+
+
+ON_TPU = _on_tpu()
+
+
+@pytest.fixture()
+def interpret(monkeypatch):
+    if not ON_TPU:
+        monkeypatch.setattr(p3st, "INTERPRET", True)
+        monkeypatch.setattr(p3s, "INTERPRET", True)
+
+
+@pytest.mark.parametrize("twenty_seven", [False, True])
+@pytest.mark.parametrize("updown", ["down", "up"])
+def test_stream_sweep_matches_xla(interpret, twenty_seven, updown):
+    kind = (StencilKind.twenty_seven_pt if twenty_seven
+            else StencilKind.seven_pt)
+    nx, ny, nz = 48, 32, 32      # nx not a multiple of T: exercises the
+    rng = np.random.default_rng(3 + twenty_seven)   # padded tail slab
+    so = jnp.asarray(random_so(rng, nx, ny, nz, twenty_seven), jnp.float32)
+    q0 = jnp.asarray(rng.standard_normal((nx, ny, nz)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((nx, ny, nz)), jnp.float32)
+    dims = p3s.split_dims3(nx, ny, nz)
+    nz2 = dims[2]
+    so4 = p3s.split_so4(so, kind, dims)
+    q4, b4 = p3s.split4(q0, dims), p3s.split4(b, dims)
+    kw = dict(rtol=1e-5, atol=1e-5)
+
+    ref = point_relax(so, q0, b, setup_recip(so), kind, updown)
+
+    # plain sweep (carry must reach one row below the deepest phase)
+    got = p3st.point_relax_stream3(so4, q4, b4, kind, updown, nz2=nz2)
+    np.testing.assert_allclose(
+        np.asarray(p3s.merge4(got, nx, ny, nz)), np.asarray(ref), **kw)
+
+    # fused residual
+    got, res4 = p3st.point_relax_stream3(so4, q4, b4, kind, updown,
+                                         fuse_residual=True, nz2=nz2)
+    rref = residual(so, ref, b, kind)
+    np.testing.assert_allclose(
+        np.asarray(p3s.merge4(got, nx, ny, nz)), np.asarray(ref), **kw)
+    np.testing.assert_allclose(
+        np.asarray(p3s.merge4(res4, nx, ny, nz)), np.asarray(rref), **kw)
+
+    # fused norm partials
+    _, nrm = p3st.point_relax_stream3(so4, q4, b4, kind, updown,
+                                      fuse_norm=True, nz2=nz2)
+    np.testing.assert_allclose(
+        float(jnp.sum(nrm)), float(jnp.sum(rref * rref)), rtol=1e-5)
+
+
+@pytest.mark.parametrize("twenty_seven", [False, True])
+def test_stream_transfers_match_xla(interpret, twenty_seven):
+    """sweep_restrict_stream3 / interp_sweep_stream3 (streaming sweep +
+    standalone restriction / pointwise interpolation) match the XLA
+    pipeline."""
+    kind = (StencilKind.twenty_seven_pt if twenty_seven
+            else StencilKind.seven_pt)
+    nx = ny = nz = 32
+    rng = np.random.default_rng(11 + twenty_seven)
+    so = jnp.asarray(random_so(rng, nx, ny, nz, twenty_seven), jnp.float32)
+    q0 = jnp.asarray(rng.standard_normal((nx, ny, nz)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((nx, ny, nz)), jnp.float32)
+    dims = p3s.split_dims3(nx, ny, nz)
+    nz2 = dims[2]
+    so4 = p3s.split_so4(so, kind, dims)
+    q4, b4 = p3s.split4(q0, dims), p3s.split4(b, dims)
+    recip = setup_recip(so)
+    ci = setup_interp(so, kind)
+    nc = tuple((d - 1) // 2 + 1 for d in (nx, ny, nz))
+    pw4 = p3s.setup_pw4(ci, (nx, ny, nz), kind)
+    kw = dict(rtol=1e-5, atol=1e-5)
+
+    ref = point_relax(so, q0, b, recip, kind, "down")
+    rref = residual(so, ref, b, kind)
+    cb_ref = restrict(ci, rref)
+    q_out, res4, cb = p3st.sweep_restrict_stream3(
+        so4, q4, b4, pw4, kind, "down", nc, nz2=nz2)
+    np.testing.assert_allclose(
+        np.asarray(p3s.merge4(q_out, nx, ny, nz)), np.asarray(ref), **kw)
+    np.testing.assert_allclose(np.asarray(cb), np.asarray(cb_ref), **kw)
+
+    cx = jnp.asarray(rng.standard_normal(nc), jnp.float32)
+    mid_ref = interp_add(ci, so, cx, rref, ref)
+    ref2 = point_relax(so, mid_ref, b, recip, kind, "up")
+    got2, nrm2 = p3st.interp_sweep_stream3(pw4, cx, so4, b4, q_out, kind,
+                                           "up", res4, fuse_norm=True,
+                                           nz2=nz2)
+    np.testing.assert_allclose(
+        np.asarray(p3s.merge4(got2, nx, ny, nz)), np.asarray(ref2),
+        rtol=1e-5, atol=5e-6)
+    res2_ref = residual(so, ref2, b, kind)
+    np.testing.assert_allclose(
+        float(jnp.sqrt(jnp.sum(nrm2))),
+        float(jnp.sqrt(jnp.sum(res2_ref * res2_ref))), rtol=1e-4)

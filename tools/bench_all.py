@@ -116,6 +116,36 @@ def main():
         report("2d_poisson_sharded", n * n, time_cycles(s, b),
                {"grid": [n, n], "mesh": dict(mesh.shape)})
 
+    # F-cycle throughput on config 1's problem (VERDICT r3 item 7)
+    n = 4096
+    so = gallery.poisson(n, n, dtype=f32)
+    b = gallery.poisson_rhs(n, n, dtype=f32)
+    s = Solver2(so, FivePt, Config({
+        "log": [], "solver": {"cycle": {"type": "f", "nrelax-pre": 1,
+                                        "nrelax-post": 1},
+                              "max-iter": 4, "tol": 1e-6}}))
+    report("2d_poisson_5pt_fcycle", n * n, time_cycles(s, b),
+           {"grid": [n, n]})
+
+    def time_cycles3(s, b):
+        """Chained split-resident cycles when the 3D solve loop uses them
+        (mirrors solver3._solve_impl)."""
+        from cedar_tpu.solver import cycle3
+
+        if cycle3.fine_split_ok(s.levels, s.settings, s.constraints):
+            from cedar_tpu.ops import pallas3_split as p3s
+
+            dims = p3s.split_dims3(*b.shape)
+            b4 = p3s.split4(b, dims)
+            x40 = p3s.split4(jnp.zeros_like(b), dims)
+            ms = timed_loop(
+                lambda x4, levels, b4: cycle3.ncycle_split(
+                    levels, s.kinds, x4, b4, s.settings)[0],
+                x40, s.levels, b4, reps=(8, 40),
+            )
+            return ms * 1e-3
+        return time_cycles(s, b)
+
     # 4. 3D Poisson 7pt — point relax and plane relax
     n = 256
     so = gallery.poisson3(n, n, n, dtype=f32)
@@ -123,7 +153,7 @@ def main():
     s = Solver3(so, SevenPt, Config({
         "log": [], "solver": {"cycle": {"nrelax-pre": 1, "nrelax-post": 1},
                               "max-iter": 4, "tol": 1e-6}}))
-    report("3d_poisson_7pt", n ** 3, time_cycles(s, b), {"grid": [n] * 3})
+    report("3d_poisson_7pt", n ** 3, time_cycles3(s, b), {"grid": [n] * 3})
 
     n = 128
     so = gallery.diag_diffusion3(n, n, n, 1.0, 1.0, 1e-3, dtype=f32)
@@ -141,7 +171,7 @@ def main():
     s = Solver3(so, TwentySevenPt, Config({
         "log": [], "solver": {"cycle": {"nrelax-pre": 1, "nrelax-post": 1},
                               "max-iter": 4, "tol": 1e-6}}))
-    report("3d_fe_27pt", n ** 3, time_cycles(s, b), {"grid": [n] * 3})
+    report("3d_fe_27pt", n ** 3, time_cycles3(s, b), {"grid": [n] * 3})
 
 
 if __name__ == "__main__":

@@ -65,14 +65,71 @@ def _place_level(lev, mesh, spec):
             a, batched_sharding(mesh, P(*names), nlead)
         )
 
-    # `planes` (batched 2D hierarchies) and `inner` (nested coarse-solver
-    # hierarchy, cg-solver "cedar"/"redist") are pytrees of their own and
-    # live replicated on the agglomerated coarse level
+    # `inner` (nested coarse-solver hierarchy, cg-solver "cedar"/"redist")
+    # is an independent pytree and lives replicated on the agglomerated
+    # coarse level; `planes` (batched 2D plane hierarchies) distribute via
+    # _place_planes — the analogue of the reference's sliced plane
+    # communicators (include/cedar/3d/mpi/relax_planes.h:219-298)
     skip = ("planes", "inner")
-    return type(lev)(**{
+    out = {
         name: (put(name, val) if name not in skip else val)
         for name, val in lev._asdict().items()
-    })
+    }
+    if out.get("planes") is not None:
+        out["planes"] = {
+            orient: _place_planes(hier, mesh, spec, orient)
+            for orient, hier in out["planes"].items()
+        }
+    return type(lev)(**out)
+
+
+def _place_planes(hier, mesh, spec, orient, min_local: int = 8):
+    """Distribute a batched plane hierarchy over the mesh.
+
+    The reference slices the 3D communicator by out-of-plane coordinate so
+    each plane solve runs distributed on the in-plane process grid
+    (include/cedar/3d/mpi/relax_planes.h:219-298).  Here the vmapped
+    hierarchy gets the same decomposition as sharding specs: the
+    plane-batch axis over the out-of-plane mesh axis (zebra color slicing
+    halves the batch, so it must divide 2x the mesh dim), and each embedded
+    2D level's in-plane dims over the in-plane mesh axes while the local
+    extent stays >= min_local (the redistribution threshold — embedded
+    coarse levels agglomerate just like outer ones).  Non-divisible or
+    replicated outer axes fall back per-array, as everywhere else."""
+    from jax.sharding import NamedSharding
+
+    from cedar_tpu.ops.planes3 import PLANE_SPECS
+
+    pax = PLANE_SPECS[orient][0]
+    inplane = [d for d in range(3) if d != pax]
+    bname = spec[pax]
+
+    def put2(a, n1, n2):
+        if a is None:
+            return None
+        names = [None] * a.ndim
+        if (
+            bname is not None
+            and a.shape[0] % (2 * mesh.shape[bname]) == 0
+        ):
+            names[0] = bname
+        if a.ndim >= 3 and a.shape[-2:] == (n1, n2):
+            for k, d in enumerate(inplane):
+                ax = spec[d]
+                dim = a.shape[a.ndim - 2 + k]
+                if (
+                    ax is not None
+                    and dim % mesh.shape[ax] == 0
+                    and dim // mesh.shape[ax] >= min_local
+                ):
+                    names[a.ndim - 2 + k] = ax
+        return jax.device_put(a, NamedSharding(mesh, P(*names)))
+
+    out = []
+    for lev2 in hier:
+        n1, n2 = lev2.so.shape[-2:]
+        out.append(jax.tree.map(lambda a: put2(a, n1, n2), lev2))
+    return tuple(out)
 
 
 def _resolve_backend_for_mesh(conf: Config, mesh) -> None:

@@ -174,8 +174,10 @@ def test_dist2_odd_extent_partitioned_matches_serial(mesh2):
 
 
 def test_dist3_plane_relax_matches_serial(mesh3):
-    """Plane relaxation under sharding (the plane hierarchies stay
-    replicated; XLA reshards around the vmapped plane batches)."""
+    """Plane relaxation under sharding: the embedded plane hierarchies
+    DISTRIBUTE — batch axis over the out-of-plane mesh axis and in-plane
+    dims over the in-plane axes — the analogue of the reference's sliced
+    plane communicators (include/cedar/3d/mpi/relax_planes.h:219-298)."""
     n = 16
     so = gallery.diag_diffusion3(n, n, n, 1.0, 1.0, 1e-3)
     b = gallery.poisson3_rhs(n, n, n)
@@ -185,6 +187,12 @@ def test_dist3_plane_relax_matches_serial(mesh3):
 
     x_ser = _S3(so, SevenPt, Config(dict(conf))).solve(b)
     s_dist = DistSolver3(so, SevenPt, Config(dict(conf)), mesh3)
+    # fine level (16^3, sharded P(x,y,z)): plane hierarchy batch axis on
+    # "z" (16 xy-planes over 2), fine 2D level in-plane on ("x","y")
+    # (16/2 = 8 >= min_local); embedded coarse (8x8) agglomerates
+    hier = s_dist.levels[0].planes["xy"]
+    assert hier[0].so.sharding.spec == P("z", None, "x", "y")
+    assert hier[1].so.sharding.spec == P("z", None, None, None)
     x_dist = s_dist.solve(b)
     assert float(jnp.max(jnp.abs(x_ser - jax.device_get(x_dist)))) < 1e-12
 

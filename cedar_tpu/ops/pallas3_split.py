@@ -730,6 +730,34 @@ def _restrict_kernel3(res_m, res_t, res_b, w_m, cb_m, *, T, H, nz2):
     cb_m[...] = qc
 
 
+def _restrict_t(nxp: int, kp: int) -> int:
+    """Largest row block whose streams fit VMEM for the standalone
+    restriction: weight streams dominate at 2·26·(T/2) rows, residual
+    windows add ~4·(T+16)+27·(T/2) sampled pieces (model, conservative)."""
+    for T in (64, 32, 16):
+        if nxp % T or (T // 2) % 8:
+            continue
+        rows = 2 * 26 * (T // 2) + 2 * 4 * T + 2 * 4 * 8 * 2
+        rows += 4 * (T + 16) + 27 * (T // 2) + 2 * (T // 2)
+        if rows * kp * 4 <= _VMEM_BUDGET:
+            return T
+    return 16
+
+
+def _interp_t(nxp: int, kp: int) -> int:
+    """Row block for the pointwise interpolation kernel (weight streams
+    2·26·(T/2) + q/res/diag mids 3·2·4·T + sampled w/cx copies)."""
+    for T in (64, 32, 16):
+        if nxp % T or (T // 2) % 8:
+            continue
+        rows = 2 * 26 * (T // 2 + 8) + 2 * (T // 2 + 8)
+        rows += 3 * 2 * 4 * T + 2 * 4 * T
+        rows += 27 * 2 * (T // 2) + 3 * 8 * (T // 2)
+        if rows * kp * 4 <= _VMEM_BUDGET:
+            return T
+    return 16
+
+
 @functools.partial(jax.jit, static_argnames=("nz2", "T"))
 def _restrict_call3(pw4, res4, nz2, T):
     _, nxp, kp = res4.shape
@@ -781,8 +809,7 @@ def sweep_restrict_split3(so4, q4, b4, pw4, kind, updown, nc,
         # emit the residual from the sweep, restrict standalone
         q4, res = point_relax_split3(so4, q4, b4, kind, updown,
                                      fuse_residual=True, nz2=nz2)
-        T = next(t for t in (64, 32, 16) if nxp % t == 0)
-        cbf = _restrict_call3(pw4, res, nz2, T)
+        cbf = _restrict_call3(pw4, res, nz2, _restrict_t(nxp, kp))
         return q4, res, crop(cbf)
 
     res = None
@@ -991,7 +1018,7 @@ def interp_sweep_split3(pw4, cx, so4, b4, q4_presmoothed, kind, updown,
         # pointwise interp from the emitted residual, then plain sweeps
         assert res4 is not None, "caller must emit the residual"
         splan = _plan_split(kind, kp, "sweep", nxp)
-        T0 = splan[0][3]
+        T0 = _interp_t(nxp, kp)
         q4 = _interp_call3(pw4, cxp, so4[Dir3.P], res4, q4, nz2, T0)
         for n, (lo, hi, H, T) in enumerate(splan):
             last = n == len(splan) - 1

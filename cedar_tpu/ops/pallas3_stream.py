@@ -63,32 +63,77 @@ def _params(kind: StencilKind, emit: str):
     return P, S, Pp
 
 
-def stream_supported(shape_split, kind) -> bool:
-    _, nxp, kp = shape_split
-    P, S, Pp = _params(kind, "res")
-    T = _pick_t(kind, kp, nxp)
-    return T is not None and T >= S and nxp % T == 0
+_BUDGET = 112 * 1024 * 1024   # stream planning budget, calibrated on
+# v5e: the 27-pt T=16 full-width sweep (model 111.4M) compiles at
+# 119.4M scoped (limit 120M); the fused-norm variant fits only with the
+# unused residual-head carry dropped (its 1.0M was the overflow)
 
 
-def _pick_t(kind, kp, nxp):
+def _rows_model(kind, T, Pp):
+    """Class-row count of the VMEM model per lane (streams double-
+    buffered + carries + window temps), as in the halo-window kernels'
+    _model_rows but for the wavefront schedule (no row-halo streams)."""
     nd = 4 if kind == StencilKind.seven_pt else 14
-    # light model: mid streams (2x double-buffered) + carries + window
-    # temps; calibrated on v5e (27-pt T=16 at kp=4096 compiles)
+    R = T + Pp
+    rows = 2 * (nd + 2) * 4 * T          # mid stream buffers
+    rows += (nd + 2) * 4 * Pp            # carries
+    rows += 2 * 4 * T * 4                # out/res + heads
+    rows += (nd + 2) * 4 * R             # window concats
+    rows += 10 * 8 * (R // 2)            # octant pieces
+    ncpl = 6 if nd == 4 else 26
+    rows += (ncpl * 8 // 3) * (R // 2)   # shifted coupling copies
+    return rows
+
+
+def _plan_stream(kind, nxp, ny2, nz2):
+    """(T, W, h): x-rows per step, lane-panel width and halo (both in
+    ys columns; W == ny2, h == 0 means full-width, no panels).
+
+    Lane panels extend the wavefront sweep to sizes whose full lane
+    width exceeds VMEM (e.g. 256³: kp = 16384): the grid gains an outer
+    panel dimension and each panel carries ``h`` halo ys-columns per
+    side — corruption from the panel edge advances at most one column
+    plus one lane per phase stage (the widest in-kernel roll is
+    nz2 + 1), so h = S + 1 columns keep the interior exact, rounded up
+    so the lane offset h·nz2 is a 128-multiple (Mosaic slice/block
+    alignment) and h divides the panel width (halo block index maps
+    step in whole halo blocks).  Candidates are scored by halo refetch
+    2h/W; full-width plans win outright."""
+    import math
+
+    P, S, Pp = _params(kind, "res")
+    g = 128 // math.gcd(nz2, 128)
+    h0 = -(-(S + 1) // g) * g
+    best = None
     for T in (32, 16):
-        if nxp % T:
+        if nxp % T or T < S:
             continue
-        P, S, Pp = _params(kind, "res")
-        R = T + Pp
-        rows = 2 * (nd + 2) * 4 * T          # mid stream buffers
-        rows += (nd + 2) * 4 * Pp            # carries
-        rows += 2 * 4 * T * 4                # out/res + heads
-        rows += (nd + 2) * 4 * R             # window concats
-        rows += 10 * 8 * (R // 2)            # octant pieces
-        ncpl = 6 if nd == 4 else 26
-        rows += (ncpl * 8 // 3) * (R // 2)   # shifted coupling copies
-        if rows * kp * 4 <= 100 * 1024 * 1024:
-            return T
+        rows = _rows_model(kind, T, Pp)
+        if rows * ny2 * nz2 * 4 <= _BUDGET:
+            return (T, ny2, 0)
+        # largest panel width that fits, multiples of h dividing ny2
+        h = h0
+        if h <= 0 or ny2 % h:
+            continue
+        for W in range(ny2 - h, 0, -h):
+            if ny2 % W:
+                continue
+            if rows * (W + 2 * h) * nz2 * 4 <= _BUDGET:
+                cost = 2 * h / W
+                if best is None or cost < best[0] or (
+                        cost == best[0] and T > best[1][0]):
+                    best = (cost, (T, W, h))
+                break
+    # panels with >50% halo refetch lose to the two-pass halo-window
+    # kernels — reject them
+    if best is not None and best[0] <= 0.5:
+        return best[1]
     return None
+
+
+def stream_supported(shape_split, kind, nz2) -> bool:
+    _, nxp, kp = shape_split
+    return _plan_stream(kind, nxp, kp // nz2, nz2) is not None
 
 
 def _stage_mask(G, lo, hi):
@@ -98,15 +143,53 @@ def _stage_mask(G, lo, hi):
 def _stream_kernel3(
     so_m, b_m, q_m,
     out_m, res_m,
-    c_so, c_b, c_q, c_qh, c_rh,
+    c_so, c_b, c_q, c_qh, c_rh=None,
     *, kind, updown, T, Pp, S, P, nxp, nz2, emit,
 ):
-    i = pl.program_id(0)
-    ndir = so_m.shape[0]
-    kp = q_m.shape[2]
+    """Full-lane-width wavefront step (no panels)."""
+    _stream_body(
+        pl.program_id(0), so_m[...], b_m[...], q_m[...], out_m, res_m,
+        c_so, c_b, c_q, c_qh, c_rh, kind=kind, updown=updown, T=T,
+        Pp=Pp, S=S, P=P, nxp=nxp, nz2=nz2, emit=emit, hl=0,
+    )
 
-    dtype = q_m.dtype
-    kp_ = q_m.shape[2]
+
+def _stream_kernel3_panel(
+    so_l, so_m, so_r, b_l, b_m, b_r, q_l, q_m, q_r,
+    out_m, res_m,
+    c_so, c_b, c_q, c_qh, c_rh=None,
+    *, kind, updown, T, Pp, S, P, nxp, nz2, emit, hl,
+):
+    """Lane-panel wavefront step: operands arrive as left-halo / mid /
+    right-halo lane blocks (halo = h ys-columns; edge panels' halos wrap
+    to the opposite side, reproducing the full-width kernel's lane-roll
+    wrap on which the stored-zero boundary annihilation relies); outputs
+    write the interior lanes only."""
+    so = jnp.concatenate([so_l[...], so_m[...], so_r[...]], axis=3)
+    b = jnp.concatenate([b_l[...], b_m[...], b_r[...]], axis=2)
+    q = jnp.concatenate([q_l[...], q_m[...], q_r[...]], axis=2)
+    _stream_body(
+        pl.program_id(1), so, b, q, out_m, res_m,
+        c_so, c_b, c_q, c_qh, c_rh, kind=kind, updown=updown, T=T,
+        Pp=Pp, S=S, P=P, nxp=nxp, nz2=nz2, emit=emit, hl=hl,
+    )
+
+
+def _stream_body(
+    i, so_v, b_v, q_v,
+    out_m, res_m,
+    c_so, c_b, c_q, c_qh, c_rh,
+    *, kind, updown, T, Pp, S, P, nxp, nz2, emit, hl,
+):
+    ndir = so_v.shape[0]
+    kp = q_v.shape[2]          # window lane width (incl. panel halos)
+    Wl = out_m.shape[2]        # interior lane width written out
+
+    dtype = q_v.dtype
+    kp_ = kp
+
+    def interior(a):
+        return a[..., hl: hl + Wl] if hl else a
 
     @pl.when(i == 0)
     def _():
@@ -120,9 +203,9 @@ def _stream_kernel3(
         if emit == "res":
             c_rh[...] = jnp.zeros((4, T, kp_), dtype)
 
-    so = jnp.concatenate([c_so[...], so_m[...]], axis=2)
-    b = jnp.concatenate([c_b[...], b_m[...]], axis=1)
-    q = jnp.concatenate([c_q[...], q_m[...]], axis=1)
+    so = jnp.concatenate([c_so[...], so_v], axis=2)
+    b = jnp.concatenate([c_b[...], b_v], axis=1)
+    q = jnp.concatenate([c_q[...], q_v], axis=1)
     R = Pp + T
     R2 = R // 2
     G0 = i * T - Pp            # global row of window row 0 (even)
@@ -134,7 +217,7 @@ def _stream_kernel3(
     ir = jax.lax.broadcasted_iota(jnp.int32, (R2, kp), 0)
     gx = [G0 + 2 * ir + px for px in (0, 1)]
     hix = [g < (nxp - 1) for g in gx]
-    zero = jnp.zeros((), q_m.dtype)
+    zero = jnp.zeros((), dtype)
     table = _table_for(kind)
     offdiag = _mk_offdiag(so_oct, table, nz2, hix, zero)
     diag = so_oct[Dir3.P]
@@ -153,11 +236,11 @@ def _stream_kernel3(
     full = q_oct.interleave(0, R)              # (4, R, kp)
     # window w in [Pp - S, Pp) and head rows [0, T - S) of the PREVIOUS
     # step's save; new head = w in [Pp, Pp + T - S)
-    out_m[...] = jnp.concatenate(
+    out_m[...] = interior(jnp.concatenate(
         [c_qh[...][:, : T - S], full[:, Pp - S: Pp]], axis=1
-    )
+    ))
     new_qh = full[:, Pp: Pp + (T - S)]
-    pad_h = jnp.zeros((4, S, kp), q_m.dtype)
+    pad_h = jnp.zeros((4, S, kp), dtype)
 
     if emit in ("res", "norm"):
         # residual stage (lag P + 1): fresh rows [iT - S, iT + T - S)
@@ -183,13 +266,15 @@ def _stream_kernel3(
             acc = s4[0:1]
             for r in range(1, R):
                 acc = acc + s4[r: r + 1]
-            res_m[...] = jnp.concatenate(
-                [acc, jnp.zeros((7, kp), q_m.dtype)], axis=0
-            )
+            # panel halo lanes are excluded by the interior slice (their
+            # junk never reaches the emitted partials)
+            res_m[...] = interior(jnp.concatenate(
+                [acc, jnp.zeros((7, kp), dtype)], axis=0
+            ))
         else:
-            res_m[...] = jnp.concatenate(
+            res_m[...] = interior(jnp.concatenate(
                 [c_rh[...][:, : T - S], resw[:, Pp - S: Pp]], axis=1
-            )
+            ))
             c_rh[...] = jnp.concatenate(
                 [resw[:, Pp: Pp + (T - S)], pad_h], axis=1
             )
@@ -203,72 +288,144 @@ def _stream_kernel3(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kind", "updown", "nz2", "T", "emit"),
+    static_argnames=("kind", "updown", "nz2", "T", "emit", "W", "h"),
 )
-def _stream_call3(so4, q4, b4, kind, updown, nz2, T, emit):
+def _stream_call3(so4, q4, b4, kind, updown, nz2, T, emit, W=None, h=0):
     _, nxp, kp = q4.shape
     ndir = so4.shape[0]
     P, S, Pp = _params(kind, emit)
     assert nxp % T == 0 and T >= S
     nb = nxp // T
+    ny2 = kp // nz2
+    if W is None:
+        W = ny2
+    paneled = h > 0
+    Wl, hl = W * nz2, h * nz2
+    kpw = Wl + 2 * hl if paneled else kp
+    kb = ny2 // W
+    uh = W // h if paneled else 0     # halo blocks per panel width
 
-    kernel = functools.partial(
-        _stream_kernel3, kind=kind, updown=updown, T=T, Pp=Pp, S=S, P=P,
-        nxp=nxp, nz2=nz2, emit=emit,
-    )
+    # carries use the window width; the residual-head carry exists only
+    # on the emit="res" path (dropping it for "norm" is what fits the
+    # 27-pt fused-norm pass under the scoped-vmem limit)
+    scratch = [
+        pltpu.VMEM((ndir, 4, Pp, kpw), q4.dtype),
+        pltpu.VMEM((4, Pp, kpw), q4.dtype),
+        pltpu.VMEM((4, Pp, kpw), q4.dtype),
+        pltpu.VMEM((4, T, kpw), q4.dtype),
+    ]
+    if emit == "res":
+        scratch.append(pltpu.VMEM((4, T, kpw), q4.dtype))
 
-    def mid4(i):
-        return (0, 0, jnp.minimum(i, nb - 1), 0)
+    if not paneled:
+        kernel = functools.partial(
+            _stream_kernel3, kind=kind, updown=updown, T=T, Pp=Pp, S=S,
+            P=P, nxp=nxp, nz2=nz2, emit=emit,
+        )
 
-    def mid(i):
-        return (0, jnp.minimum(i, nb - 1), 0)
+        def mid4(i):
+            return (0, 0, jnp.minimum(i, nb - 1), 0)
 
-    def prev(i):
-        return (0, jnp.maximum(i - 1, 0), 0)
+        def mid(i):
+            return (0, jnp.minimum(i, nb - 1), 0)
 
-    if emit == "norm":
-        res_shape = (8 * (nb + 1), kp)
-        res_spec = pl.BlockSpec((8, kp), lambda i: (i, 0))
-    elif emit == "res":
-        res_shape = (4, nxp, kp)
-        res_spec = pl.BlockSpec((4, T, kp), prev)
-    else:
-        res_shape = (4, 8, 128)
-        res_spec = pl.BlockSpec((4, 8, 128), lambda i: (0, 0, 0))
+        def prev(i):
+            return (0, jnp.maximum(i - 1, 0), 0)
 
-    q_out, res = pl.pallas_call(
-        kernel,
-        grid=(nb + 1,),
-        in_specs=[
+        if emit == "norm":
+            res_shape = (8 * (nb + 1), kp)
+            res_spec = pl.BlockSpec((8, kp), lambda i: (i, 0))
+        elif emit == "res":
+            res_shape = (4, nxp, kp)
+            res_spec = pl.BlockSpec((4, T, kp), prev)
+        else:
+            res_shape = (4, 8, 128)
+            res_spec = pl.BlockSpec((4, 8, 128), lambda i: (0, 0, 0))
+
+        grid = (nb + 1,)
+        in_specs = [
             pl.BlockSpec((ndir, 4, T, kp), mid4),
             pl.BlockSpec((4, T, kp), mid),
             pl.BlockSpec((4, T, kp), mid),
-        ],
-        out_specs=[
-            pl.BlockSpec((4, T, kp), prev),
-            res_spec,
-        ],
+        ]
+        out_specs = [pl.BlockSpec((4, T, kp), prev), res_spec]
+        operands = (so4, b4, q4)
+    else:
+        kernel = functools.partial(
+            _stream_kernel3_panel, kind=kind, updown=updown, T=T, Pp=Pp,
+            S=S, P=P, nxp=nxp, nz2=nz2, emit=emit, hl=hl,
+        )
+
+        def xm(i):
+            return jnp.minimum(i, nb - 1)
+
+        # lane-block indices in units of the block's own width; edge
+        # panels WRAP to the opposite side — the full-width kernel's
+        # lane rolls wrap too, and their correctness relies on the
+        # wrapped-in value being the opposite boundary's stored-zero
+        # coupling (an up-direction coefficient is read SHIFTED, so the
+        # zero that annihilates the exterior neighbor arrives via the
+        # wrap); the window must reproduce exactly that
+        nblk = ny2 // h
+
+        def lh(j):
+            return (j * uh - 1) % nblk
+
+        def rh(j):
+            return ((j + 1) * uh) % nblk
+
+        def mid4(j, i):
+            return (0, 0, xm(i), j)
+
+        def mid(j, i):
+            return (0, xm(i), j)
+
+        def prev(j, i):
+            return (0, jnp.maximum(i - 1, 0), j)
+
+        if emit == "norm":
+            res_shape = (8 * (nb + 1), kp)
+            res_spec = pl.BlockSpec((8, Wl), lambda j, i: (i, j))
+        elif emit == "res":
+            res_shape = (4, nxp, kp)
+            res_spec = pl.BlockSpec((4, T, Wl), prev)
+        else:
+            res_shape = (4, 8, 128)
+            res_spec = pl.BlockSpec((4, 8, 128), lambda j, i: (0, 0, 0))
+
+        grid = (kb, nb + 1)
+        in_specs = [
+            pl.BlockSpec((ndir, 4, T, hl), lambda j, i: (0, 0, xm(i),
+                                                         lh(j))),
+            pl.BlockSpec((ndir, 4, T, Wl), mid4),
+            pl.BlockSpec((ndir, 4, T, hl), lambda j, i: (0, 0, xm(i),
+                                                         rh(j))),
+            pl.BlockSpec((4, T, hl), lambda j, i: (0, xm(i), lh(j))),
+            pl.BlockSpec((4, T, Wl), mid),
+            pl.BlockSpec((4, T, hl), lambda j, i: (0, xm(i), rh(j))),
+            pl.BlockSpec((4, T, hl), lambda j, i: (0, xm(i), lh(j))),
+            pl.BlockSpec((4, T, Wl), mid),
+            pl.BlockSpec((4, T, hl), lambda j, i: (0, xm(i), rh(j))),
+        ]
+        out_specs = [pl.BlockSpec((4, T, Wl), prev), res_spec]
+        operands = (so4, so4, so4, b4, b4, b4, q4, q4, q4)
+
+    q_out, res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=[
             jax.ShapeDtypeStruct((4, nxp, kp), q4.dtype),
             jax.ShapeDtypeStruct(res_shape, q4.dtype),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((ndir, 4, Pp, kp), q4.dtype),
-            pltpu.VMEM((4, Pp, kp), q4.dtype),
-            pltpu.VMEM((4, Pp, kp), q4.dtype),
-            pltpu.VMEM((4, T, kp), q4.dtype),
-            pltpu.VMEM((4, T, kp), q4.dtype),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=INTERPRET,
-    )(so4, b4, q4)
-    if emit == "norm":
-        # junk partials from the warm-up write of block 0 are overwritten
-        # (same block index twice); all blocks are real sums
-        return q_out, res
-    if emit == "res":
+    )(*operands)
+    if emit in ("norm", "res"):
         return q_out, res
     return q_out
 
@@ -282,21 +439,21 @@ def point_relax_stream3(so4, q4, b4, kind, updown, fuse_residual=False,
     assert nz2 is not None
     _, nxp, kp = q4.shape
     emit = "norm" if fuse_norm else ("res" if fuse_residual else "none")
-    T = _pick_t(kind, kp, nxp)
-    return _stream_call3(so4, q4, b4, kind, updown, nz2, T, emit)
+    T, W, h = _plan_stream(kind, nxp, kp // nz2, nz2)
+    return _stream_call3(so4, q4, b4, kind, updown, nz2, T, emit,
+                         W=W, h=h)
 
 
 def sweep_restrict_stream3(so4, q4, b4, pw4, kind, updown, nc, nz2=None):
     """Streaming pre-sweep (residual emitted in the same pass) + the
     standalone split-layout restriction.  Returns (q4, res4, cb)."""
-    from cedar_tpu.ops.pallas3_split import _restrict_call3
+    from cedar_tpu.ops.pallas3_split import _restrict_call3, _restrict_t
 
     assert nz2 is not None
     _, nxp, kp = q4.shape
     q4, res = point_relax_stream3(so4, q4, b4, kind, updown,
                                   fuse_residual=True, nz2=nz2)
-    T = next(t for t in (64, 32, 16) if nxp % t == 0)
-    cbf = _restrict_call3(pw4, res, nz2, T)
+    cbf = _restrict_call3(pw4, res, nz2, _restrict_t(nxp, kp))
     nxc, nyc, nzc = nc
     ny2 = kp // nz2
     cb = cbf[:nxc].reshape(-1, ny2, nz2)[:, :nyc, :nzc]
@@ -307,7 +464,7 @@ def interp_sweep_stream3(pw4, cx, so4, b4, q4_presmoothed, kind, updown,
                          res4, fuse_norm=False, nz2=None):
     """Pointwise interpolation (from the emitted residual) + streaming
     post-sweep (+ fused convergence norm)."""
-    from cedar_tpu.ops.pallas3_split import _interp_call3
+    from cedar_tpu.ops.pallas3_split import _interp_call3, _interp_t
 
     assert nz2 is not None and res4 is not None
     q4 = q4_presmoothed
@@ -317,7 +474,7 @@ def interp_sweep_stream3(pw4, cx, so4, b4, q4_presmoothed, kind, updown,
     nxc, nyc, nzc = cx.shape
     cxp = jnp.pad(cx, ((0, rows - nxc), (0, ny2 - nyc), (0, nz2 - nzc)))
     cxp = cxp.reshape(rows, kp)
-    T = next(t for t in (64, 32, 16) if nxp % t == 0)
-    q4 = _interp_call3(pw4, cxp, so4[Dir3.P], res4, q4, nz2, T)
+    q4 = _interp_call3(pw4, cxp, so4[Dir3.P], res4, q4, nz2,
+                       _interp_t(nxp, kp))
     return point_relax_stream3(so4, q4, b4, kind, updown,
                                fuse_norm=fuse_norm, nz2=nz2)

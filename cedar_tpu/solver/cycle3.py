@@ -177,8 +177,9 @@ def ncycle_split(
     lev, kind = levels[lvl], kinds[lvl]
     nz2 = lev.so.shape[3] // 2
     # the streaming (wavefront) kernels read every operand exactly once
-    # per sweep — prefer them wherever they fit VMEM
-    stream = p3st.stream_supported(b4.shape, kind)
+    # per sweep — prefer them wherever they fit VMEM (lane panels extend
+    # them to full-width-over-VMEM sizes, e.g. 256^3)
+    stream = p3st.stream_supported(b4.shape, kind, nz2)
 
     def sweep(x4, ud, **kw):
         if stream:

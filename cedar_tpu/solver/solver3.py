@@ -106,16 +106,29 @@ def setup_hierarchy(
     # per-coarse-point weight planes on its coarse level
     def _split_ok(lvl):
         from cedar_tpu.ops import pallas3_split as p3s
+        from cedar_tpu.ops import pallas3_stream as p3st
 
-        return (
-            lvl < max(getattr(settings, "split_levels", 2), 1)
-            and lvl < nlevels - 1
-            and use_pt
-            and getattr(settings, "fine_split", True)
-            and point
-            and p3s.supported(sos[lvl].shape[1:], sos[lvl].dtype,
-                              kinds[lvl])
-        )
+        if (
+            lvl >= max(getattr(settings, "split_levels", 2), 1)
+            or lvl >= nlevels - 1
+            or not use_pt
+            or not getattr(settings, "fine_split", True)
+            or not point
+        ):
+            return False
+        shape = sos[lvl].shape[1:]
+        if p3s.supported(shape, sos[lvl].dtype, kinds[lvl]):
+            return True
+        # full-width halo-window plans may not fit VMEM at large sizes
+        # (256^3: kp = 16384) — the lane-paneled streaming kernels can
+        # still run the level split-resident
+        dims = p3s.split_dims3(*shape)
+        if dims is None or jnp.dtype(sos[lvl].dtype) != jnp.float32:
+            return False
+        nxp, ny2, nz2, kp = dims
+        if shape[0] < 32 or kp < 512:
+            return False
+        return p3st.stream_supported((4, nxp, kp), kinds[lvl], nz2)
 
     def _so4_field(lvl):
         from cedar_tpu.ops import pallas3_split as p3s

@@ -119,3 +119,45 @@ def test_stream_transfers_match_xla(interpret, twenty_seven):
     np.testing.assert_allclose(
         float(jnp.sqrt(jnp.sum(nrm2))),
         float(jnp.sqrt(jnp.sum(res2_ref * res2_ref))), rtol=1e-4)
+
+
+@pytest.mark.parametrize("twenty_seven", [False, True])
+@pytest.mark.parametrize("updown", ["down", "up"])
+def test_stream_sweep_lane_panels(interpret, twenty_seven, updown):
+    """Lane-paneled wavefront sweep (the large-kp mode, e.g. 256^3):
+    forced (W, h) on a small shape must agree with the full-width sweep
+    for every emit variant — panel halos carry enough ys-columns that
+    the interior is exact, edge-panel clamped halos are annihilated by
+    the stored-zero y-boundary couplings."""
+    kind = (StencilKind.twenty_seven_pt if twenty_seven
+            else StencilKind.seven_pt)
+    nx, ny, nz = 32, 32, 32
+    rng = np.random.default_rng(29 + twenty_seven)
+    so = jnp.asarray(random_so(rng, nx, ny, nz, twenty_seven), jnp.float32)
+    q0 = jnp.asarray(rng.standard_normal((nx, ny, nz)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((nx, ny, nz)), jnp.float32)
+    dims = p3s.split_dims3(nx, ny, nz)
+    nxp, ny2, nz2, kp = dims
+    so4 = p3s.split_so4(so, kind, dims)
+    q4, b4 = p3s.split4(q0, dims), p3s.split4(b, dims)
+    kw = dict(rtol=1e-5, atol=1e-5)
+    T, W, h = 16, 8, 8            # 2 panels, halo = 8 ys-cols (>= S+1)
+
+    ref = point_relax(so, q0, b, setup_recip(so), kind, updown)
+    got = p3st._stream_call3(so4, q4, b4, kind, updown, nz2, T, "none",
+                             W=W, h=h)
+    np.testing.assert_allclose(
+        np.asarray(p3s.merge4(got, nx, ny, nz)), np.asarray(ref), **kw)
+
+    rref = residual(so, ref, b, kind)
+    got, res4 = p3st._stream_call3(so4, q4, b4, kind, updown, nz2, T,
+                                   "res", W=W, h=h)
+    np.testing.assert_allclose(
+        np.asarray(p3s.merge4(got, nx, ny, nz)), np.asarray(ref), **kw)
+    np.testing.assert_allclose(
+        np.asarray(p3s.merge4(res4, nx, ny, nz)), np.asarray(rref), **kw)
+
+    _, nrm = p3st._stream_call3(so4, q4, b4, kind, updown, nz2, T,
+                                "norm", W=W, h=h)
+    np.testing.assert_allclose(
+        float(jnp.sum(nrm)), float(jnp.sum(rref * rref)), rtol=1e-5)

@@ -138,8 +138,13 @@ def supported(shape, dtype, kind) -> bool:
         return False            # tiny grids: call overhead beats the win
     # the fused restrict/interp plans are optional: when they do not fit,
     # the cycle emits the residual and takes the standalone restriction
-    # and pointwise interpolation kernels
-    return _plan_split(kind, kp, "sweep", nxp) is not None
+    # and pointwise interpolation kernels — whose (possibly lane-paneled)
+    # plans must fit VMEM as well
+    return (
+        _plan_split(kind, kp, "sweep", nxp) is not None
+        and _restrict_plan(nxp, kp, nz2) is not None
+        and _interp_plan(nxp, kp, nz2) is not None
+    )
 
 
 def split4(a: jnp.ndarray, dims) -> jnp.ndarray:
@@ -730,59 +735,194 @@ def _restrict_kernel3(res_m, res_t, res_b, w_m, cb_m, *, T, H, nz2):
     cb_m[...] = qc
 
 
-def _restrict_t(nxp: int, kp: int) -> int:
-    """Largest row block whose streams fit VMEM for the standalone
-    restriction: weight streams dominate at 2·26·(T/2) rows, residual
-    windows add ~4·(T+16)+27·(T/2) sampled pieces (model, conservative)."""
+def _restrict_rows(T: int) -> int:
+    """Class-row VMEM model for the standalone restriction: weight
+    streams dominate at 2·26·(T/2) rows, residual windows add
+    ~4·(T+16)+27·(T/2) sampled pieces (conservative)."""
+    rows = 2 * 26 * (T // 2) + 2 * 4 * T + 2 * 4 * 8 * 2
+    rows += 4 * (T + 16) + 27 * (T // 2) + 2 * (T // 2)
+    return rows
+
+
+def _interp_rows(T: int) -> int:
+    """Class-row VMEM model for the pointwise interpolation kernel
+    (weight streams 2·26·(T/2) + q/res/diag mids 3·2·4·T + sampled
+    w/cx copies)."""
+    rows = 2 * 26 * (T // 2 + 8) + 2 * (T // 2 + 8)
+    rows += 3 * 2 * 4 * T + 2 * 4 * T
+    rows += 27 * 2 * (T // 2) + 3 * 8 * (T // 2)
+    return rows
+
+
+def _lane_halo(nz2: int) -> int:
+    """Panel halo in ys columns for the standalone transfer kernels:
+    sample rolls reach at most nz2+1 lanes (one ys column plus one zs),
+    so 2 columns suffice; the lane offset h·nz2 must be a 128-multiple
+    (Mosaic block alignment)."""
+    import math
+
+    g = 128 // math.gcd(nz2, 128)
+    return -(-2 // g) * g if g > 2 else 2
+
+
+def _panel_plan(rows_fn, nxp: int, kp: int, nz2: int):
+    """(T, W, h) for a lane-panelable kernel: full lane width (h == 0)
+    when it fits VMEM, else panels of W ys-columns with h halo columns
+    per side (wrapping at the grid edge, reproducing the full-width
+    kernel's lane-roll wrap); None when nothing fits or the halo
+    refetch would exceed 50%."""
+    ny2 = kp // nz2
+    h = _lane_halo(nz2)
+    best = None
     for T in (64, 32, 16):
         if nxp % T or (T // 2) % 8:
             continue
-        rows = 2 * 26 * (T // 2) + 2 * 4 * T + 2 * 4 * 8 * 2
-        rows += 4 * (T + 16) + 27 * (T // 2) + 2 * (T // 2)
+        rows = rows_fn(T)
         if rows * kp * 4 <= _VMEM_BUDGET:
-            return T
-    return 16
-
-
-def _interp_t(nxp: int, kp: int) -> int:
-    """Row block for the pointwise interpolation kernel (weight streams
-    2·26·(T/2) + q/res/diag mids 3·2·4·T + sampled w/cx copies)."""
-    for T in (64, 32, 16):
-        if nxp % T or (T // 2) % 8:
+            return (T, ny2, 0)
+        if h <= 0 or ny2 % h:
             continue
-        rows = 2 * 26 * (T // 2 + 8) + 2 * (T // 2 + 8)
-        rows += 3 * 2 * 4 * T + 2 * 4 * T
-        rows += 27 * 2 * (T // 2) + 3 * 8 * (T // 2)
-        if rows * kp * 4 <= _VMEM_BUDGET:
-            return T
-    return 16
+        for W in range(ny2 - h, 0, -h):
+            if ny2 % W or W % h:
+                continue
+            if rows * (W + 2 * h) * nz2 * 4 <= _VMEM_BUDGET:
+                cost = 2 * h / W
+                if best is None or cost < best[0]:
+                    best = (cost, (T, W, h))
+                break
+    if best is not None and best[0] <= 0.5:
+        return best[1]
+    return None
 
 
-@functools.partial(jax.jit, static_argnames=("nz2", "T"))
-def _restrict_call3(pw4, res4, nz2, T):
+def _restrict_plan(nxp: int, kp: int, nz2: int):
+    return _panel_plan(_restrict_rows, nxp, kp, nz2)
+
+
+def _interp_plan(nxp: int, kp: int, nz2: int):
+    return _panel_plan(_interp_rows, nxp, kp, nz2)
+
+
+def _lane_maps(W: int, h: int, ny2: int):
+    """(uh, nblk, lh, rh): halo-block bookkeeping in ys-column units.
+    Edge panels' halo blocks WRAP to the opposite side — the full-width
+    kernel's lane rolls wrap too, and correctness relies on the wrapped
+    value being the opposite boundary's stored zero."""
+    uh = W // h
+    nblk = ny2 // h
+
+    def lh(j):
+        return (j * uh - 1) % nblk
+
+    def rh(j):
+        return ((j + 1) * uh) % nblk
+
+    return uh, nblk, lh, rh
+
+
+def _restrict_kernel3_panel(
+    rm_l, rm, rm_r, rt_l, rt, rt_r, rb_l, rb, rb_r, w_m, cb_m,
+    *, T, H, nz2, hl,
+):
+    """Lane-panel variant of :func:`_restrict_kernel3`: the residual
+    window carries h ys-columns of halo per side (sample rolls reach at
+    most nz2+1 lanes); weights and output are interior-only."""
+
+    def cat(l, m, r):
+        return jnp.concatenate([l[...], m[...], r[...]], axis=2)
+
+    res = jnp.concatenate(
+        [cat(rt_l, rt, rt_r), cat(rm_l, rm, rm_r), cat(rb_l, rb, rb_r)],
+        axis=1,
+    )
+    res_oct = _OctantField(res)
+    h2, Tc = H // 2, T // 2
+    w = w_m[...]
+    Wl = w.shape[2]
+
+    def interior(a):
+        return a[:, hl: hl + Wl]
+
+    qc = interior(_sample_res(res_oct, (0, 0, 0), nz2, h2, Tc))
+    for n, off in enumerate(_OFFSETS26):
+        qc = qc + w[n] * interior(_sample_res(res_oct, off, nz2, h2, Tc))
+    cb_m[...] = qc
+
+
+@functools.partial(jax.jit, static_argnames=("nz2", "plan"))
+def _restrict_call3(pw4, res4, nz2, plan):
     _, nxp, kp = res4.shape
     H = 8
+    T, W, h = plan
     assert nxp % T == 0 and T % H == 0 and (T // 2) % 8 == 0
     nb = nxp // T
     nbh = nxp // H - 1
     Tc = T // 2
-    _, _, _, mid, top, bot = _fine_specs(0, T, H, kp)
+    ny2 = kp // nz2
 
-    kernel = functools.partial(_restrict_kernel3, T=T, H=H, nz2=nz2)
+    if h == 0:
+        _, _, _, mid, top, bot = _fine_specs(0, T, H, kp)
+        kernel = functools.partial(_restrict_kernel3, T=T, H=H, nz2=nz2)
+        return pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((4, T, kp), mid),
+                pl.BlockSpec((4, H, kp), top),
+                pl.BlockSpec((4, H, kp), functools.partial(bot, nb=nbh)),
+                pl.BlockSpec((26, Tc, kp), lambda i: (0, i, 0)),
+            ],
+            out_specs=pl.BlockSpec((Tc, kp), lambda i: (i, 0)),
+            out_shape=jax.ShapeDtypeStruct((nxp // 2, kp), res4.dtype),
+            compiler_params=_vmem_params(),
+            interpret=INTERPRET,
+        )(res4, res4, res4, pw4)
+
+    Wl, hl = W * nz2, h * nz2
+    kb = ny2 // W
+    uh, nblk, lhf, rhf = _lane_maps(W, h, ny2)
+
+    def mid(j, i):
+        return (0, i, j)
+
+    def top(j, i):
+        return (0, jnp.maximum(i * (T // H) - 1, 0), j)
+
+    def bot(j, i):
+        return (0, jnp.minimum((i + 1) * (T // H), nbh), j)
+
+    def row_specs(row_ix, width_u):
+        # one (left-halo, mid, right-halo) triple for a given row map;
+        # halo lane-block indices are in units of hl, mid in units Wl
+        def lhs(j, i):
+            r = row_ix(j, i)
+            return (r[0], r[1], lhf(j))
+
+        def rhs(j, i):
+            r = row_ix(j, i)
+            return (r[0], r[1], rhf(j))
+
+        return [
+            pl.BlockSpec((4, width_u, hl), lhs),
+            pl.BlockSpec((4, width_u, Wl), row_ix),
+            pl.BlockSpec((4, width_u, hl), rhs),
+        ]
+
+    kernel = functools.partial(
+        _restrict_kernel3_panel, T=T, H=H, nz2=nz2, hl=hl,
+    )
     return pl.pallas_call(
         kernel,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((4, T, kp), mid),
-            pl.BlockSpec((4, H, kp), top),
-            pl.BlockSpec((4, H, kp), functools.partial(bot, nb=nbh)),
-            pl.BlockSpec((26, Tc, kp), lambda i: (0, i, 0)),
-        ],
-        out_specs=pl.BlockSpec((Tc, kp), lambda i: (i, 0)),
+        grid=(kb, nb),
+        in_specs=(
+            row_specs(mid, T) + row_specs(top, H) + row_specs(bot, H)
+            + [pl.BlockSpec((26, Tc, Wl), lambda j, i: (0, i, j))]
+        ),
+        out_specs=pl.BlockSpec((Tc, Wl), lambda j, i: (i, j)),
         out_shape=jax.ShapeDtypeStruct((nxp // 2, kp), res4.dtype),
         compiler_params=_vmem_params(),
         interpret=INTERPRET,
-    )(res4, res4, res4, pw4)
+    )(*([res4] * 9), pw4)
 
 
 def sweep_restrict_split3(so4, q4, b4, pw4, kind, updown, nc,
@@ -809,7 +949,9 @@ def sweep_restrict_split3(so4, q4, b4, pw4, kind, updown, nc,
         # emit the residual from the sweep, restrict standalone
         q4, res = point_relax_split3(so4, q4, b4, kind, updown,
                                      fuse_residual=True, nz2=nz2)
-        cbf = _restrict_call3(pw4, res, nz2, _restrict_t(nxp, kp))
+        rplan = _restrict_plan(nxp, kp, nz2)
+        assert rplan is not None, "caller must gate on _restrict_plan"
+        cbf = _restrict_call3(pw4, res, nz2, rplan)
         return q4, res, crop(cbf)
 
     res = None
@@ -956,35 +1098,138 @@ def _interp_kernel3(
     out_m[...] = q_oct.interleave(0, T)
 
 
-@functools.partial(jax.jit, static_argnames=("nz2", "T"))
-def _interp_call3(pw4, cxp, diag4, res4, q4, nz2, T):
+def _interp_kernel3_panel(
+    cxm_l, cxm, cxm_r, cxb_l, cxb, cxb_r,
+    wm_l, wm, wm_r, wb_l, wb, wb_r,
+    diag_m, res_m, q_m, out_m, *, T, nz2, hl,
+):
+    """Lane-panel variant of :func:`_interp_kernel3`: the coarse
+    solution and weight windows carry h ys-columns of halo per side
+    (their sample rolls reach at most nz2+1 lanes in either direction);
+    q/res/diag are pointwise in lanes and stay interior-only."""
+    q_oct = _OctantField(q_m[...])
+    res_oct = _OctantField(res_m[...])
+    diag_oct = _OctantField(diag_m[...])
+    cx = jnp.concatenate(
+        [jnp.concatenate([cxm_l[...], cxm[...], cxm_r[...]], axis=1),
+         jnp.concatenate([cxb_l[...], cxb[...], cxb_r[...]], axis=1)],
+        axis=0,
+    )
+    w = jnp.concatenate(
+        [jnp.concatenate([wm_l[...], wm[...], wm_r[...]], axis=2),
+         jnp.concatenate([wb_l[...], wb[...], wb_r[...]], axis=2)],
+        axis=1,
+    )
+    R2 = T // 2
+    Wl = q_m.shape[2]
+
+    def csample(a, sx, dl):
+        rows = a[sx: sx + R2]
+        if dl:
+            rows = _roll(rows, 0, dl)
+        return rows[:, hl: hl + Wl]
+
+    for o in _OCTS:
+        if o == (0, 0, 0):
+            q_oct[o] = q_oct[o] + csample(cx, 0, 0)
+            continue
+        acc = res_oct[o] / diag_oct[o]
+        for n, off in enumerate(_OFFSETS26):
+            if (off[0] % 2, off[1] % 2, off[2] % 2) != o:
+                continue
+            sx = (o[0] - off[0]) // 2
+            dl = (((o[1] - off[1]) // 2) * nz2 + (o[2] - off[2]) // 2)
+            acc = acc + csample(w[n], sx, dl) * csample(cx, sx, dl)
+        q_oct[o] = q_oct[o] + acc
+    out_m[...] = q_oct.interleave(0, T)
+
+
+@functools.partial(jax.jit, static_argnames=("nz2", "plan"))
+def _interp_call3(pw4, cxp, diag4, res4, q4, nz2, plan):
     _, nxp, kp = q4.shape
+    T, W, h = plan
     assert nxp % T == 0 and (T // 2) % 8 == 0
     nb = nxp // T
     Tc = T // 2
+    ny2 = kp // nz2
 
-    def mid(i):
-        return (0, i, 0)
+    if h == 0:
+        def mid(i):
+            return (0, i, 0)
 
-    kernel = functools.partial(_interp_kernel3, T=T, nz2=nz2)
+        kernel = functools.partial(_interp_kernel3, T=T, nz2=nz2)
+        return pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((Tc, kp), lambda i: (i, 0)),
+                pl.BlockSpec((8, kp), lambda i: ((i + 1) * (Tc // 8), 0)),
+                pl.BlockSpec((26, Tc, kp), lambda i: (0, i, 0)),
+                pl.BlockSpec((26, 8, kp),
+                             lambda i: (0, (i + 1) * (Tc // 8), 0)),
+                pl.BlockSpec((4, T, kp), mid),
+                pl.BlockSpec((4, T, kp), mid),
+                pl.BlockSpec((4, T, kp), mid),
+            ],
+            out_specs=pl.BlockSpec((4, T, kp), mid),
+            out_shape=jax.ShapeDtypeStruct((4, nxp, kp), q4.dtype),
+            compiler_params=_vmem_params(),
+            interpret=INTERPRET,
+        )(cxp, cxp, pw4, pw4, diag4, res4, q4)
+
+    Wl, hl = W * nz2, h * nz2
+    kb = ny2 // W
+    uh, nblk, lhf, rhf = _lane_maps(W, h, ny2)
+
+    def cm(j, i):
+        return (i, j)
+
+    def cb(j, i):
+        return ((i + 1) * (Tc // 8), j)
+
+    def wm_(j, i):
+        return (0, i, j)
+
+    def wb_(j, i):
+        return (0, (i + 1) * (Tc // 8), j)
+
+    def mid(j, i):
+        return (0, i, j)
+
+    def tri2(row_ix, width_u):
+        return [
+            pl.BlockSpec((width_u, hl),
+                         lambda j, i, f=row_ix: (f(j, i)[0], lhf(j))),
+            pl.BlockSpec((width_u, Wl), row_ix),
+            pl.BlockSpec((width_u, hl),
+                         lambda j, i, f=row_ix: (f(j, i)[0], rhf(j))),
+        ]
+
+    def tri3(row_ix, width_u):
+        return [
+            pl.BlockSpec((26, width_u, hl),
+                         lambda j, i, f=row_ix: (0, f(j, i)[1], lhf(j))),
+            pl.BlockSpec((26, width_u, Wl), row_ix),
+            pl.BlockSpec((26, width_u, hl),
+                         lambda j, i, f=row_ix: (0, f(j, i)[1], rhf(j))),
+        ]
+
+    kernel = functools.partial(
+        _interp_kernel3_panel, T=T, nz2=nz2, hl=hl,
+    )
     return pl.pallas_call(
         kernel,
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((Tc, kp), lambda i: (i, 0)),
-            pl.BlockSpec((8, kp), lambda i: ((i + 1) * (Tc // 8), 0)),
-            pl.BlockSpec((26, Tc, kp), lambda i: (0, i, 0)),
-            pl.BlockSpec((26, 8, kp),
-                         lambda i: (0, (i + 1) * (Tc // 8), 0)),
-            pl.BlockSpec((4, T, kp), mid),
-            pl.BlockSpec((4, T, kp), mid),
-            pl.BlockSpec((4, T, kp), mid),
-        ],
-        out_specs=pl.BlockSpec((4, T, kp), mid),
+        grid=(kb, nb),
+        in_specs=(
+            tri2(cm, Tc) + tri2(cb, 8) + tri3(wm_, Tc) + tri3(wb_, 8)
+            + [pl.BlockSpec((4, T, Wl), mid)] * 3
+        ),
+        out_specs=pl.BlockSpec((4, T, Wl), mid),
         out_shape=jax.ShapeDtypeStruct((4, nxp, kp), q4.dtype),
         compiler_params=_vmem_params(),
         interpret=INTERPRET,
-    )(cxp, cxp, pw4, pw4, diag4, res4, q4)
+    )(cxp, cxp, cxp, cxp, cxp, cxp, pw4, pw4, pw4, pw4, pw4, pw4,
+      diag4, res4, q4)
 
 
 def interp_sweep_split3(pw4, cx, so4, b4, q4_presmoothed, kind, updown,
@@ -1018,8 +1263,9 @@ def interp_sweep_split3(pw4, cx, so4, b4, q4_presmoothed, kind, updown,
         # pointwise interp from the emitted residual, then plain sweeps
         assert res4 is not None, "caller must emit the residual"
         splan = _plan_split(kind, kp, "sweep", nxp)
-        T0 = _interp_t(nxp, kp)
-        q4 = _interp_call3(pw4, cxp, so4[Dir3.P], res4, q4, nz2, T0)
+        iplan = _interp_plan(nxp, kp, nz2)
+        assert iplan is not None, "caller must gate on _interp_plan"
+        q4 = _interp_call3(pw4, cxp, so4[Dir3.P], res4, q4, nz2, iplan)
         for n, (lo, hi, H, T) in enumerate(splan):
             last = n == len(splan) - 1
             out = _sweep_call3(so4, q4, b4, kind, updown, nz2, lo, hi, H,

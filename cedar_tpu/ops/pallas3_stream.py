@@ -104,6 +104,10 @@ def _plan_stream(kind, nxp, ny2, nz2):
     P, S, Pp = _params(kind, "res")
     g = 128 // math.gcd(nz2, 128)
     h0 = -(-(S + 1) // g) * g
+    # smallest divisor of ny2 that is >= h0 and a multiple of g (h0
+    # itself rarely divides power-of-two ny2 — e.g. 27-pt S+1 = 10)
+    h = next((d for d in range(h0, ny2 + 1)
+              if ny2 % d == 0 and d % g == 0), 0)
     best = None
     for T in (32, 16):
         if nxp % T or T < S:
@@ -112,8 +116,7 @@ def _plan_stream(kind, nxp, ny2, nz2):
         if rows * ny2 * nz2 * 4 <= _BUDGET:
             return (T, ny2, 0)
         # largest panel width that fits, multiples of h dividing ny2
-        h = h0
-        if h <= 0 or ny2 % h:
+        if h <= 0 or h >= ny2:
             continue
         for W in range(ny2 - h, 0, -h):
             if ny2 % W:
@@ -447,13 +450,15 @@ def point_relax_stream3(so4, q4, b4, kind, updown, fuse_residual=False,
 def sweep_restrict_stream3(so4, q4, b4, pw4, kind, updown, nc, nz2=None):
     """Streaming pre-sweep (residual emitted in the same pass) + the
     standalone split-layout restriction.  Returns (q4, res4, cb)."""
-    from cedar_tpu.ops.pallas3_split import _restrict_call3, _restrict_t
+    from cedar_tpu.ops.pallas3_split import _restrict_call3, _restrict_plan
 
     assert nz2 is not None
     _, nxp, kp = q4.shape
     q4, res = point_relax_stream3(so4, q4, b4, kind, updown,
                                   fuse_residual=True, nz2=nz2)
-    cbf = _restrict_call3(pw4, res, nz2, _restrict_t(nxp, kp))
+    rplan = _restrict_plan(nxp, kp, nz2)
+    assert rplan is not None, "caller must gate on _restrict_plan"
+    cbf = _restrict_call3(pw4, res, nz2, rplan)
     nxc, nyc, nzc = nc
     ny2 = kp // nz2
     cb = cbf[:nxc].reshape(-1, ny2, nz2)[:, :nyc, :nzc]
@@ -464,7 +469,7 @@ def interp_sweep_stream3(pw4, cx, so4, b4, q4_presmoothed, kind, updown,
                          res4, fuse_norm=False, nz2=None):
     """Pointwise interpolation (from the emitted residual) + streaming
     post-sweep (+ fused convergence norm)."""
-    from cedar_tpu.ops.pallas3_split import _interp_call3, _interp_t
+    from cedar_tpu.ops.pallas3_split import _interp_call3, _interp_plan
 
     assert nz2 is not None and res4 is not None
     q4 = q4_presmoothed
@@ -474,7 +479,8 @@ def interp_sweep_stream3(pw4, cx, so4, b4, q4_presmoothed, kind, updown,
     nxc, nyc, nzc = cx.shape
     cxp = jnp.pad(cx, ((0, rows - nxc), (0, ny2 - nyc), (0, nz2 - nzc)))
     cxp = cxp.reshape(rows, kp)
-    q4 = _interp_call3(pw4, cxp, so4[Dir3.P], res4, q4, nz2,
-                       _interp_t(nxp, kp))
+    iplan = _interp_plan(nxp, kp, nz2)
+    assert iplan is not None, "caller must gate on _interp_plan"
+    q4 = _interp_call3(pw4, cxp, so4[Dir3.P], res4, q4, nz2, iplan)
     return point_relax_stream3(so4, q4, b4, kind, updown,
                                fuse_norm=fuse_norm, nz2=nz2)

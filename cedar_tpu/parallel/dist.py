@@ -41,7 +41,7 @@ from cedar_tpu.solver.solver2 import Solver2
 from cedar_tpu.solver.solver3 import Solver3
 
 
-def _place_level(lev, mesh, spec):
+def _place_level(lev, mesh, spec, min_local: int = 8):
     """Commit a level's arrays to the mesh under the level's spec.
 
     Axes whose extent does not divide the mesh dimension are replicated for
@@ -77,7 +77,7 @@ def _place_level(lev, mesh, spec):
     }
     if out.get("planes") is not None:
         out["planes"] = {
-            orient: _place_planes(hier, mesh, spec, orient)
+            orient: _place_planes(hier, mesh, spec, orient, min_local)
             for orient, hier in out["planes"].items()
         }
     return type(lev)(**out)
@@ -238,6 +238,7 @@ class _DistMixin:
         strategy = conf.get("redist.search.strategy", "coarsen")
         path = conf.get("redist.search.path", None)
         min_local = conf.get("redist.min-local", 8)
+        self._min_local = min_local
         machine = None
         if strategy == "astar":
             from cedar_tpu.perf import MachineParams
@@ -262,8 +263,9 @@ class _DistMixin:
         )
 
     def _apply_policy(self):
+        min_local = getattr(self, "_min_local", 8)
         self.levels = tuple(
-            _place_level(lev, self.mesh, self.specs[i])
+            _place_level(lev, self.mesh, self.specs[i], min_local)
             for i, lev in enumerate(self.levels)
         )
         self._dist_line_workspaces()

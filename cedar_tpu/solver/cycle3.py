@@ -387,8 +387,7 @@ def fmg_cycle(
         nz2 = dims[2]
         b4 = p3s.split4(b, dims)
         cbf = p3s._restrict_call3(
-            coarse.pw4, b4, nz2,
-            next(t for t in (64, 32, 16) if dims[0] % t == 0),
+            coarse.pw4, b4, nz2, p3s._restrict_plan(dims[0], dims[3], nz2),
         )
         nxc, nyc, nzc = coarse.so.shape[1:]
         cb = cbf[:nxc].reshape(-1, dims[1], nz2)[:, :nyc, :nzc]

@@ -128,7 +128,14 @@ def setup_hierarchy(
         nxp, ny2, nz2, kp = dims
         if shape[0] < 32 or kp < 512:
             return False
-        return p3st.stream_supported((4, nxp, kp), kinds[lvl], nz2)
+        # the split-resident cycle also runs the standalone restriction
+        # and pointwise-interp kernels — their (possibly lane-paneled)
+        # plans must fit VMEM too, or this level must stay dense
+        return (
+            p3st.stream_supported((4, nxp, kp), kinds[lvl], nz2)
+            and p3s._restrict_plan(nxp, kp, nz2) is not None
+            and p3s._interp_plan(nxp, kp, nz2) is not None
+        )
 
     def _so4_field(lvl):
         from cedar_tpu.ops import pallas3_split as p3s

@@ -12,6 +12,7 @@ import pytest
 
 from cedar_tpu.core.types import StencilKind
 from cedar_tpu.ops import pallas3, pallas3_split as p3s
+from cedar_tpu.ops import pallas3_stream as p3st
 from cedar_tpu.ops import pallas_transfer3
 from cedar_tpu.ops.relax3 import point_relax, setup_recip
 from cedar_tpu.ops.stencil3 import residual
@@ -35,6 +36,7 @@ def interpret(monkeypatch):
         monkeypatch.setattr(p3s, "INTERPRET", True)
         monkeypatch.setattr(pallas3, "INTERPRET", True)
         monkeypatch.setattr(pallas_transfer3, "INTERPRET", True)
+        monkeypatch.setattr(p3st, "INTERPRET", True)
 
 
 def _setup(nx, ny, nz, twenty_seven):
@@ -161,6 +163,56 @@ def test_interp_pointwise_fallback_matches_fused(interpret, monkeypatch,
         np.asarray(p3s.merge4(fused, nx, ny, nz)),
         np.asarray(p3s.merge4(fallback, nx, ny, nz)),
         rtol=1e-5, atol=5e-6)
+
+
+@pytest.mark.parametrize("twenty_seven", [False, True])
+def test_transfer_lane_panels_match_full_width(interpret, twenty_seven):
+    """Lane-paneled standalone restriction / pointwise interpolation (the
+    large-kp mode, e.g. 256^3 where the full-width windows exceed VMEM):
+    forced (T, W, h) on a small shape must agree with the full-width
+    kernels — sample rolls reach at most nz2+1 lanes, well inside the
+    h-column halo, and edge panels wrap exactly like full-width rolls."""
+    nx = ny = nz = 32
+    kind, rng, so, q0, b, dims, so4 = _setup(nx, ny, nz, twenty_seven)
+    nxp, ny2, nz2, kp = dims
+    q4 = p3s.split4(q0, dims)
+    b4 = p3s.split4(b, dims)
+    ci = setup_interp(so, kind)
+    nc = tuple((d - 1) // 2 + 1 for d in (nx, ny, nz))
+    pw4 = p3s.setup_pw4(ci, (nx, ny, nz), kind)
+    kw = dict(rtol=1e-5, atol=1e-5)
+    T, W, h = 16, 8, 8            # 2 panels, halo = 8 ys-cols
+
+    q_out, res4 = p3s.point_relax_split3(so4, q4, b4, kind, "down",
+                                         fuse_residual=True, nz2=nz2)
+    ref = p3s.merge4(q_out, nx, ny, nz)
+    res_ref = residual(so, ref, b, kind)
+    cb_ref = restrict(ci, res_ref)
+
+    def crop(cbf):
+        return cbf[:nc[0]].reshape(-1, ny2, nz2)[:, :nc[1], :nc[2]]
+
+    cb_full = crop(p3s._restrict_call3(pw4, res4, nz2, (T, ny2, 0)))
+    cb_pan = crop(p3s._restrict_call3(pw4, res4, nz2, (T, W, h)))
+    np.testing.assert_allclose(np.asarray(cb_full), np.asarray(cb_ref),
+                               **kw)
+    np.testing.assert_array_equal(np.asarray(cb_pan), np.asarray(cb_full))
+
+    cx = jnp.asarray(rng.standard_normal(nc), jnp.float32)
+    mid_ref = interp_add(ci, so, cx, res_ref, ref)
+    rows = nxp // 2 + 2 * 16
+    cxp = jnp.pad(cx, ((0, rows - nc[0]), (0, ny2 - nc[1]),
+                       (0, nz2 - nc[2]))).reshape(rows, kp)
+    from cedar_tpu.core.types import Dir3
+
+    qi_full = p3s._interp_call3(pw4, cxp, so4[Dir3.P], res4, q_out, nz2,
+                                (T, ny2, 0))
+    qi_pan = p3s._interp_call3(pw4, cxp, so4[Dir3.P], res4, q_out, nz2,
+                               (T, W, h))
+    np.testing.assert_allclose(
+        np.asarray(p3s.merge4(qi_full, nx, ny, nz)), np.asarray(mid_ref),
+        rtol=1e-5, atol=5e-6)
+    np.testing.assert_array_equal(np.asarray(qi_pan), np.asarray(qi_full))
 
 
 def test_solver3_split_resident_path_matches_xla(interpret):

@@ -72,10 +72,12 @@ def main(n=128, twenty_seven=True):
     # keep its shape)
     res4 = p3s.point_relax_split3(lev.so2, q4, b4, kind, "down",
                                   fuse_residual=True, nz2=nz2)[1]
-    T0 = next(tt for tt in (64, 32, 16) if nxp % tt == 0)
+    rplan = p3s._restrict_plan(nxp, kp, nz2)
+    iplan = p3s._interp_plan(nxp, kp, nz2)
+    print(f"  restrict plan={rplan} interp plan={iplan}", flush=True)
 
     def chain_restrict(res4, pw4):
-        cbf = p3s._restrict_call3(pw4, res4, nz2, T0)
+        cbf = p3s._restrict_call3(pw4, res4, nz2, rplan)
         return res4.at[0, 0, 0].add(cbf[0, 0] * 1e-30)
 
     t("standalone restrict", chain_restrict, res4, coarse.pw4)
@@ -88,7 +90,7 @@ def main(n=128, twenty_seven=True):
     cxp = cxp.reshape(rows, kp)
     t("pointwise interp",
       lambda q4, cxp, res4, pw4: p3s._interp_call3(
-          pw4, cxp, lev.so2[0], res4, q4, nz2, T0),
+          pw4, cxp, lev.so2[0], res4, q4, nz2, iplan),
       q4, cxp, res4, coarse.pw4)
 
     # interp + sweep (+ norm), as the cycle runs it

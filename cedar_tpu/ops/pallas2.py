@@ -92,22 +92,34 @@ def _shift_zero(a, dz, dw):
     return out
 
 
-def _shifted_couplings(sos, nine: bool):
-    """The phase-invariant coupling planes of the full 8-neighbor form."""
+def _shifted_couplings(sos, nine: bool, per_y: bool = False):
+    """The phase-invariant coupling planes of the full 8-neighbor form.
+
+    With ``per_y`` the lane (w) component of the up-shift is a circular
+    roll instead of a zero fill — the wrapped-in value is the coupling of
+    the high-boundary point to its wrap neighbor (the XLA path's
+    ``shift2(..., periodic)`` roll)."""
+
+    def sh(a, dz, dw):
+        if per_y and dw:
+            a = _shift_zero(a, dz, 0) if dz else a
+            return _roll(a, 0, dw)
+        return _shift_zero(a, dz, dw)
+
     W, S = sos[Dir2.W], sos[Dir2.S]
     cpl = {
         (-1, 0): W,
-        (1, 0): _shift_zero(W, 1, 0),
+        (1, 0): sh(W, 1, 0),
         (0, -1): S,
-        (0, 1): _shift_zero(S, 0, 1),
+        (0, 1): sh(S, 0, 1),
     }
     if nine:
         SW, NW = sos[Dir2.SW], sos[Dir2.NW]
         cpl.update({
             (-1, -1): SW,
-            (1, -1): _shift_zero(NW, 1, 0),
-            (-1, 1): _shift_zero(NW, 0, 1),
-            (1, 1): _shift_zero(SW, 1, 1),
+            (1, -1): sh(NW, 1, 0),
+            (-1, 1): sh(NW, 0, 1),
+            (1, 1): sh(SW, 1, 1),
         })
     return cpl
 
@@ -125,7 +137,7 @@ def _offdiag_slab(cpl, q):
 def _sweep_kernel(
     orig_ref, so_m, so_t, so_b, b_m, b_t, b_b, q_m, q_t, q_b,
     out_m, res_m,
-    *, kind, updown, T, nx, ny, fuse_residual,
+    *, kind, updown, T, nx, ny, fuse_residual, periodic=(False, False),
 ):
     """One slab of the sweep: all color phases on a (T + 2H)-row window.
 
@@ -159,15 +171,19 @@ def _sweep_kernel(
     himask = li < (nx - 1)
 
     diag = so[Dir2.O]
-    cpl = _shifted_couplings(so, nine)
+    cpl = _shifted_couplings(so, nine, per_y=periodic[1])
     # zero the up-shifted (dz=1) coupling planes at the true high edge:
     # _shift_zero's zero-fill lands at the WINDOW edge, which coincides
-    # with the grid edge only when the last block has no halo duplicates
-    zero = jnp.zeros((), so.dtype)
-    cpl = {
-        off: (jnp.where(himask, c, zero) if off[0] > 0 else c)
-        for off, c in cpl.items()
-    }
+    # with the grid edge only when the last block has no halo duplicates.
+    # Under x-periodicity the halo blocks WRAP instead of clamping, so
+    # the last row's up-shifted coupling arrives from the wrapped block
+    # (== plane row 0, the XLA roll) and must NOT be masked.
+    if not periodic[0]:
+        zero = jnp.zeros((), so.dtype)
+        cpl = {
+            off: (jnp.where(himask, c, zero) if off[0] > 0 else c)
+            for off, c in cpl.items()
+        }
     rec = 1.0 / diag
     for color in _color_order(kind, updown):
         if nine:
@@ -198,27 +214,37 @@ def _padded_dims(nx: int, ny: int):
     return nxp, nyp, T
 
 
-def supported(shape, dtype, kind=StencilKind.nine_pt) -> bool:
+def supported(shape, dtype, kind=StencilKind.nine_pt,
+              periodic=(False, False)) -> bool:
     """Pallas sweep applicability (else callers use the XLA path).
 
     Unaligned shapes are padded up (see :func:`point_relax`), so only the
-    padded dimensions gate."""
+    padded dimensions gate — except along PERIODIC axes, where the wrap
+    must land on the true opposite row/column and the extent must already
+    be aligned (x: 8-row blocks and a whole number of slabs; y: 128
+    lanes)."""
     del kind
     nx, ny = shape
     if jnp.dtype(dtype) != jnp.dtype(jnp.float32):
         return False
     nxp, nyp, t = _padded_dims(nx, ny)
+    if periodic[0] and nxp != nx:
+        return False
+    if periodic[1] and nyp != ny:
+        return False
     return t >= 32 and 256 <= nyp <= 6144
 
 
 def point_relax(so, q, b, rec, kind, updown, fuse_residual=False,
-                origin=None):
+                origin=None, periodic=(False, False)):
     """Dispatch: aligned shapes run the kernel directly; others pad up.
 
     The pad region is inert by construction: coupling planes pad with
     zeros (annihilating every read that crosses the pad boundary) and the
     diagonal pads with ONES so padded-point updates stay finite
-    (``(0 + 0) * 1``), never contaminating real points.
+    (``(0 + 0) * 1``), never contaminating real points.  Periodic axes
+    must be pre-aligned (:func:`supported` gates) — their wrap reads the
+    true opposite boundary.
 
     ``origin`` (traced (2,) int32, default zeros) is the global index of
     local element (0, 0) — nonzero only for per-shard calls under
@@ -229,14 +255,16 @@ def point_relax(so, q, b, rec, kind, updown, fuse_residual=False,
     nxp, nyp, _ = _padded_dims(nx, ny)
     if (nx, ny) == (nxp, nyp):
         return _point_relax_call(so, q, b, rec, kind, updown, fuse_residual,
-                                 origin)
+                                 origin, periodic)
+    assert not (periodic[0] and nxp != nx)
+    assert not (periodic[1] and nyp != ny)
     pw = ((0, nxp - nx), (0, nyp - ny))
     so_p = jnp.pad(so, ((0, 0),) + pw)
     so_p = so_p.at[Dir2.O, nx:, :].set(1.0)
     so_p = so_p.at[Dir2.O, :, ny:].set(1.0)
     out = _point_relax_call(
         so_p, jnp.pad(q, pw), jnp.pad(b, pw), None, kind, updown,
-        fuse_residual, origin,
+        fuse_residual, origin, periodic,
     )
     if fuse_residual:
         return out[0][:nx, :ny], out[1][:nx, :ny]
@@ -244,10 +272,10 @@ def point_relax(so, q, b, rec, kind, updown, fuse_residual=False,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("kind", "updown", "fuse_residual")
+    jax.jit, static_argnames=("kind", "updown", "fuse_residual", "periodic")
 )
 def _point_relax_call(so, q, b, rec, kind, updown, fuse_residual=False,
-                      origin=None):
+                      origin=None, periodic=(False, False)):
     """One full multicolor GS sweep in a single HBM pass.
 
     Drop-in replacement for cedar_tpu.ops.relax2.point_relax on supported
@@ -272,6 +300,7 @@ def _point_relax_call(so, q, b, rec, kind, updown, fuse_residual=False,
         nx=nx,
         ny=ny,
         fuse_residual=fuse_residual,
+        periodic=periodic,
     )
     out_shapes = [
         jax.ShapeDtypeStruct((nx, ny), dtype),
@@ -283,20 +312,36 @@ def _point_relax_call(so, q, b, rec, kind, updown, fuse_residual=False,
     def mid2(i):
         return (i, 0)
 
-    def top2(i):
-        return (jnp.maximum(i * tb - 1, 0), 0)
+    if periodic[0]:
+        # halo blocks WRAP to the opposite grid edge: the boundary rows'
+        # neighbor reads (and their up-shifted coupling planes) arrive
+        # from the true wrap rows instead of clamped duplicates
+        def top2(i):
+            return ((i * tb - 1) % (nb + 1), 0)
 
-    def bot2(i):
-        return (jnp.minimum((i + 1) * tb, nb), 0)
+        def bot2(i):
+            return (((i + 1) * tb) % (nb + 1), 0)
+
+        def top3(i):
+            return (0, (i * tb - 1) % (nb + 1), 0)
+
+        def bot3(i):
+            return (0, ((i + 1) * tb) % (nb + 1), 0)
+    else:
+        def top2(i):
+            return (jnp.maximum(i * tb - 1, 0), 0)
+
+        def bot2(i):
+            return (jnp.minimum((i + 1) * tb, nb), 0)
+
+        def top3(i):
+            return (0, jnp.maximum(i * tb - 1, 0), 0)
+
+        def bot3(i):
+            return (0, jnp.minimum((i + 1) * tb, nb), 0)
 
     def mid3(i):
         return (0, i, 0)
-
-    def top3(i):
-        return (0, jnp.maximum(i * tb - 1, 0), 0)
-
-    def bot3(i):
-        return (0, jnp.minimum((i + 1) * tb, nb), 0)
 
     q_out, res = pl.pallas_call(
         kernel,

@@ -24,18 +24,21 @@ from cedar_tpu.utils.timing import scope
 
 
 def _use_pallas(settings, kind, shape, dtype, periodic, shard=None):
-    if settings.kernel_backend != "pallas" or any(periodic):
+    if settings.kernel_backend != "pallas":
         return False
     if shard is not None:
+        if any(periodic):
+            return False
         from cedar_tpu.parallel import shard_relax
 
         return shard_relax.supported2(shape, dtype, kind, shard)
     from cedar_tpu.ops import pallas2
 
-    return pallas2.supported(shape, dtype, kind)
+    return pallas2.supported(shape, dtype, kind, periodic)
 
 
-def _pallas_relax(lev, kind, x, b, updown, shard, fuse_residual=False):
+def _pallas_relax(lev, kind, x, b, updown, shard, fuse_residual=False,
+                  periodic=(False, False)):
     """Fused Pallas sweep — per-shard under shard_map when sharded."""
     if shard is not None:
         from cedar_tpu.parallel import shard_relax
@@ -46,7 +49,8 @@ def _pallas_relax(lev, kind, x, b, updown, shard, fuse_residual=False):
     from cedar_tpu.ops import pallas2
 
     return pallas2.point_relax(
-        lev.so, x, b, lev.recip, kind, updown, fuse_residual
+        lev.so, x, b, lev.recip, kind, updown, fuse_residual,
+        periodic=periodic,
     )
 
 
@@ -63,7 +67,8 @@ def _smooth(lev, kind, x, b, settings: MLSettings, updown: str, periodic,
     rt = settings.relaxation
     if rt == RelaxType.point:
         if _use_pallas(settings, kind, x.shape, x.dtype, periodic, shard):
-            return _pallas_relax(lev, kind, x, b, updown, shard)
+            return _pallas_relax(lev, kind, x, b, updown, shard,
+                                 periodic=periodic)
         return point_relax(lev.so, x, b, lev.recip, kind, updown, periodic)
 
     def _pl_lines(axis):
@@ -330,7 +335,7 @@ def ncycle(
                          settings.nrelax_pre - 1, shard)
         with scope("relaxation-residual-fused"):
             x, res = _pallas_relax(lev, kind, x, b, "down", shard,
-                                   fuse_residual=True)
+                                   fuse_residual=True, periodic=periodic)
     else:
         with scope("relaxation"):
             x = _nsmooth(lev, kind, x, b, settings, "down", periodic,
@@ -386,7 +391,7 @@ def ncycle(
                          settings.nrelax_post - 1, shard)
         with scope("relaxation-residual-fused"):
             return _pallas_relax(lev, kind, x, b, post, shard,
-                                 fuse_residual=True)
+                                 fuse_residual=True, periodic=periodic)
     with scope("relaxation"):
         x = _nsmooth(lev, kind, x, b, settings, post, periodic,
                      settings.nrelax_post, shard)

@@ -197,3 +197,113 @@ def test_fully_periodic_singular():
                  StencilKind.five_pt, (True, True))
     rel = float(jnp.sqrt(jnp.sum(r * r)) / np.linalg.norm(b))
     assert rel < 1e-10
+
+
+# ---------------------------------------------------------------------------
+# Periodic fast path: the fused Pallas sweep with wrap halos / lane rolls
+# (reference: PER_x / PER_y / PER_xy branches of
+# BMG2_SymStd_relax_GS.f90:139-226)
+# ---------------------------------------------------------------------------
+
+def _random_periodic_so(rng, nx, ny, nine, per):
+    """Random SPD-ish operator honoring the storage convention: boundary
+    couplings are zero on non-periodic axes, nonzero (wrapping) on
+    periodic ones."""
+    ndir = 5 if nine else 3
+    so = rng.random((ndir, nx, ny)) * 0.5 + 0.25
+    # storage convention: every plane entry referencing a nonexistent
+    # low-index point is zero on non-periodic axes (W/SW/NW row 0 for x,
+    # S/SW/NW column 0 for y — cf. test_kernels_2d.random_so)
+    if not per[0]:
+        so[Dir2.W, 0, :] = 0.0
+        if nine:
+            so[Dir2.SW, 0, :] = 0.0
+            so[Dir2.NW, 0, :] = 0.0
+    if not per[1]:
+        so[Dir2.S, :, 0] = 0.0
+        if nine:
+            so[Dir2.SW, :, 0] = 0.0
+            so[Dir2.NW, :, 0] = 0.0
+    so[Dir2.O] = 4.0 + rng.random((nx, ny))
+    return so
+
+
+def test_pallas_periodic_sweep_matches_xla(monkeypatch):
+    import jax
+
+    from cedar_tpu.ops import pallas2, relax2
+
+    dd = jax.config.jax_default_device
+    on_tpu = (dd.platform == "tpu" if dd is not None
+              else jax.default_backend() == "tpu")
+    if not on_tpu:
+        monkeypatch.setattr(pallas2, "INTERPRET", True)
+
+    nx, ny = 64, 256
+    rng = np.random.default_rng(7)
+    for nine in (False, True):
+        kind = StencilKind.nine_pt if nine else StencilKind.five_pt
+        for per in [(True, False), (False, True), (True, True)]:
+            assert pallas2.supported((nx, ny), jnp.float32, kind, per)
+            so = jnp.asarray(_random_periodic_so(rng, nx, ny, nine, per),
+                             jnp.float32)
+            q0 = jnp.asarray(rng.standard_normal((nx, ny)), jnp.float32)
+            b = jnp.asarray(rng.standard_normal((nx, ny)), jnp.float32)
+            recip = relax2.setup_recip(so)
+            for updown in ("down", "up"):
+                ref = relax2.point_relax(so, q0, b, recip, kind, updown,
+                                         per)
+                got = pallas2.point_relax(so, q0, b, recip, kind, updown,
+                                          periodic=per)
+                np.testing.assert_allclose(
+                    np.asarray(got), np.asarray(ref), rtol=1e-5,
+                    atol=1e-5, err_msg=f"{kind} {per} {updown}")
+            # fused residual
+            ref = relax2.point_relax(so, q0, b, recip, kind, "down", per)
+            rref = residual(so, ref, b, kind, per)
+            got, res = pallas2.point_relax(so, q0, b, recip, kind, "down",
+                                           fuse_residual=True, periodic=per)
+            np.testing.assert_allclose(np.asarray(res), np.asarray(rref),
+                                       rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_periodic_solver_matches_xla(monkeypatch):
+    """End-to-end: an x-periodic solve with the pallas backend takes the
+    periodic fused sweep on the fine level and matches the XLA-backend
+    history."""
+    import jax
+
+    from cedar_tpu.ops import pallas2
+    from cedar_tpu.solver import cycle2
+
+    dd = jax.config.jax_default_device
+    on_tpu = (dd.platform == "tpu" if dd is not None
+              else jax.default_backend() == "tpu")
+    if not on_tpu:
+        monkeypatch.setattr(pallas2, "INTERPRET", True)
+
+    nx, ny = 64, 256
+    so = np.zeros((3, nx, ny))
+    so[Dir2.W, :, :] = 1.0       # periodic x: W wraps at z=0
+    so[Dir2.S, :, 1:] = 1.0
+    so[Dir2.O] = 4.0
+    rng = np.random.default_rng(11)
+    b = rng.standard_normal((nx, ny))
+    base = {
+        "log": [],
+        "grid": {"periodic": [True, False]},
+        "solver": {"tol": 1e-6, "max-iter": 6},
+    }
+    s_xla = Solver2(jnp.asarray(so, jnp.float32), FivePt,
+                    Config({**base, "kernels": {"backend": "xla"}}))
+    x_xla = s_xla.solve(jnp.asarray(b, jnp.float32))
+
+    pconf = Config({**base, "kernels": {"backend": "pallas"}})
+    s_pal = Solver2(jnp.asarray(so, jnp.float32), FivePt, pconf)
+    assert cycle2._use_pallas(s_pal.settings, StencilKind.five_pt,
+                              (nx, ny), jnp.float32, (True, False))
+    x_pal = s_pal.solve(jnp.asarray(b, jnp.float32))
+    np.testing.assert_allclose(np.asarray(x_xla), np.asarray(x_pal),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s_xla.history),
+                               np.asarray(s_pal.history), rtol=1e-3)

@@ -1,13 +1,17 @@
 #!/usr/bin/env python
-"""Headline benchmark: 2D Poisson V-cycle throughput per chip.
+"""Benchmarks over the BASELINE.json configs.
 
-Measures end-to-end V(1,1)-cycle throughput (DOF/s) for the 2D Poisson
-5-point problem (BASELINE.json config 1) on the default JAX device, and
-validates correctness by matching the reference's published residual
-history (README.md:49-62 of /root/reference; see BASELINE.md) on the 400²
-problem in float64.  Prints ONE JSON line:
+Emits one JSON line per config — 2D anisotropic line relax, 2D F-cycle,
+3D 7-pt, 3D plane-xy, 3D 27-pt — and LAST the headline line (2D Poisson
+V-cycle throughput per chip), whose ``extra.configs`` repeats the other
+configs' numbers so a driver that parses a single line still records
+them all:
 
     {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+
+Correctness gate: the reference's published residual history
+(README.md:49-62 of /root/reference; see BASELINE.md) on the 400²
+problem in float64.
 
 The reference publishes no throughput numbers (SURVEY §6), so vs_baseline
 compares against a speed-of-light model: the V-cycle's minimum HBM traffic
@@ -20,6 +24,8 @@ execution completes AND has a large fixed per-call round-trip cost
 lax.fori_loop with a scalar fetch to force completion, measured at TWO
 rep counts, and the per-cycle time is the DIFFERENCED slope (the fixed
 cost cancels).
+
+Set BENCH_FAST=1 to skip configs 2-5 (headline + gate only).
 """
 
 import functools
@@ -56,6 +62,138 @@ def vcycle_traffic_bytes(nx, ny, nrelax=2, dtype_bytes=4):
     interp = (1 + 2 + 0.25 + 1) * n
     level = (relax + residual_fused + restrict + interp) * dtype_bytes
     return level * 4 / 3
+
+
+def _timed_loop(step, x0, *consts, reps=(4, 16), tries=3):
+    """ms per application, differenced two-rep-count timing."""
+    import jax
+
+    def total(reps_):
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def run(x, *cs, n):
+            def body(i, x):
+                return step(x, *cs)
+
+            return jax.lax.fori_loop(0, n, body, x)
+
+        o = run(x0, *consts, n=reps_)
+        float(jnp.sum(jax.tree.leaves(o)[0]))
+        best = float("inf")
+        for _ in range(tries):
+            t0 = time.perf_counter()
+            o = run(x0, *consts, n=reps_)
+            float(jnp.sum(jax.tree.leaves(o)[0]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    r1, r2 = reps
+    return (total(r2) - total(r1)) / (r2 - r1) * 1e3
+
+
+def _extra_configs():
+    """Configs 2-5 of BASELINE.json (+ the 2D F-cycle): one dict per
+    config, also printed as individual JSON lines."""
+    from cedar_tpu import (FivePt, NinePt, SevenPt, TwentySevenPt, Solver2,
+                           Solver3, gallery)
+    from cedar_tpu.config import Config
+    from cedar_tpu.solver import cycle2, cycle3
+
+    f32 = jnp.float32
+    out = {}
+
+    def run_cfg(name, npts, make):
+        try:
+            dt = make()
+            out[name] = {
+                "dof_per_s": round(npts / dt, 1),
+                "cycle_ms": round(dt * 1e3, 3),
+            }
+            print(json.dumps({"metric": name, "value": out[name]["dof_per_s"],
+                              "unit": "DOF/s",
+                              "cycle_ms": out[name]["cycle_ms"]}), flush=True)
+        except Exception as e:  # noqa: BLE001 — one config must not kill the rest
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+            print(json.dumps({"metric": name, "error": out[name]["error"]}),
+                  flush=True)
+
+    def cycles2(s, b):
+        return _timed_loop(
+            lambda x, levels, b: s._cycle_impl(levels, x, b),
+            jnp.zeros_like(b), s.levels, b,
+        ) * 1e-3
+
+    def cycles3(s, b):
+        if cycle3.fine_split_ok(s.levels, s.settings, s.constraints):
+            from cedar_tpu.ops import pallas3_split as p3s
+
+            dims = p3s.split_dims3(*b.shape)
+            b4 = p3s.split4(b, dims)
+            x40 = p3s.split4(jnp.zeros_like(b), dims)
+            return _timed_loop(
+                lambda x4, levels, b4: cycle3.ncycle_split(
+                    levels, s.kinds, x4, b4, s.settings)[0],
+                x40, s.levels, b4,
+            ) * 1e-3
+        return cycles2(s, b)
+
+    # config 2: 2D anisotropic 9-pt, line-xy relaxation
+    def cfg_linexy():
+        n = 2048
+        s = Solver2(gallery.fe(n, n, dtype=f32), NinePt, Config({
+            "log": [], "solver": {"relaxation": "line-xy",
+                                  "cycle": {"nrelax-pre": 1,
+                                            "nrelax-post": 1},
+                                  "max-iter": 4, "tol": 1e-6}}))
+        return cycles2(s, gallery.poisson_rhs(n, n, dtype=f32))
+
+    run_cfg("2d_fe_9pt_linexy_2048", 2048 * 2048, cfg_linexy)
+
+    # 2D F-cycle on config 1's problem
+    def cfg_fcycle():
+        n = 4096
+        s = Solver2(gallery.poisson(n, n, dtype=f32), FivePt, Config({
+            "log": [], "solver": {"cycle": {"type": "f", "nrelax-pre": 1,
+                                            "nrelax-post": 1},
+                                  "max-iter": 4, "tol": 1e-6}}))
+        return cycles2(s, gallery.poisson_rhs(n, n, dtype=f32))
+
+    run_cfg("2d_poisson_fcycle_4096", 4096 * 4096, cfg_fcycle)
+
+    # config 4: 3D Poisson 7-pt point relax, 256^3
+    def cfg_3d7():
+        n = 256
+        s = Solver3(gallery.poisson3(n, n, n, dtype=f32), SevenPt, Config({
+            "log": [], "solver": {"cycle": {"nrelax-pre": 1,
+                                            "nrelax-post": 1},
+                                  "max-iter": 4, "tol": 1e-6}}))
+        return cycles3(s, gallery.poisson3_rhs(n, n, n, dtype=f32))
+
+    run_cfg("3d_poisson_7pt_256", 256 ** 3, cfg_3d7)
+
+    # config 4b: 3D anisotropic plane-xy relax, 128^3
+    def cfg_plane():
+        n = 128
+        s = Solver3(gallery.diag_diffusion3(n, n, n, 1.0, 1.0, 1e-3,
+                                            dtype=f32), SevenPt, Config({
+            "log": [], "solver": {"relaxation": "plane-xy",
+                                  "cycle": {"nrelax-pre": 1,
+                                            "nrelax-post": 1},
+                                  "max-iter": 4, "tol": 1e-6}}))
+        return cycles2(s, gallery.poisson3_rhs(n, n, n, dtype=f32))
+
+    run_cfg("3d_aniso_planexy_128", 128 ** 3, cfg_plane)
+
+    # config 5: 3D 27-pt (fe), 128^3
+    def cfg_27():
+        n = 128
+        s = Solver3(gallery.fe3(n, n, n, dtype=f32), TwentySevenPt, Config({
+            "log": [], "solver": {"cycle": {"nrelax-pre": 1,
+                                            "nrelax-post": 1},
+                                  "max-iter": 4, "tol": 1e-6}}))
+        return cycles3(s, gallery.poisson3_rhs(n, n, n, dtype=f32))
+
+    run_cfg("3d_fe_27pt_128", 128 ** 3, cfg_27)
+    return out
 
 
 def main():
@@ -163,6 +301,10 @@ def main():
     # GB/s spec, whose realistic ceiling is ~0.80 (NOTES.md)
     frac_ach = vcycle_traffic_bytes(n, n) / 650e9 / dt
 
+    configs = {}
+    if not os.environ.get("BENCH_FAST"):
+        configs = _extra_configs()
+
     print(json.dumps({
         "metric": "2d_poisson_vcycle_dof_per_s_per_chip",
         "value": round(dof_s, 1),
@@ -175,6 +317,7 @@ def main():
             "vs_achievable_bw": round(frac_ach, 4),
             "matches_reference_history_400sq_f64": hist_ok,
             "device": str(jax.devices()[0]),
+            "configs": configs,
         },
     }))
 

@@ -161,10 +161,17 @@ class _DistMixin:
     # hierarchies agree level-by-level).
 
     def _pad_operator(self, so, conf: Config, mesh):
-        """Pad non-divisible fine axes to a multiple of 2*mesh_dim (fine
-        AND first-coarse divisibility; deeper levels shard when their own
-        extents divide).  Returns the padded operator; records the true
-        extents for solve()/vcycle() to slice results back."""
+        """Pad non-divisible fine axes to a multiple of ``2^L * mesh_dim``
+        where L is the deepest level whose local extent still clears the
+        redistribution threshold — even-extent halving then keeps every
+        level down to L divisible, so the whole feasible hierarchy
+        shards.  The pad fraction is bounded by ``1/min_local`` (the pad
+        is < one coarsest-shardable-level block).  The reference instead
+        partitions any extent unevenly per level
+        (include/cedar/mpi/block_partition.h:8-34); even XLA shardings +
+        bounded inert padding is the TPU-native equivalent.  Returns the
+        padded operator; records the true extents for solve()/vcycle()
+        to slice results back."""
         import jax.numpy as jnp
 
         ndim = self._ndim
@@ -172,14 +179,20 @@ class _DistMixin:
         self._true_dims = tuple(dims)
         axes = mesh.axis_names
         per = list(conf.get("grid.periodic", [])) + [False] * ndim
+        min_local = conf.get("redist.min-local", 8)
         pads = []
         for d in range(ndim):
             nd = mesh.shape[axes[d]]
             n = dims[d]
             # periodic axes cannot take an inert pad (it would sit between
-            # the wrap neighbors); they keep the replication fallback
+            # the wrap neighbors); they keep the replication fallback —
+            # an odd-extent periodic axis replicates, which the perf
+            # model prices as the redundant redistribution mode
             if nd > 1 and n % nd and not per[d]:
-                m = 2 * nd
+                L = 1
+                while n >= 2 ** (L + 1) * nd * max(min_local, 1):
+                    L += 1
+                m = 2 ** L * nd
                 pads.append(-(-n // m) * m - n)
             else:
                 pads.append(0)

@@ -33,7 +33,6 @@ import pytest  # noqa: E402
 #   line_relax_dist_interface_reduction / sharded_along_line ->
 #     test_ml_relax_disables... exercises dist lines; serial SPIKE/PCR
 #     equivalence stays in test_lines_2d
-#   dist3_plane_relax_matches_serial -> serial plane oracles + dist3 point
 #   anisotropic_line_y -> anisotropic_line_x (transpose of the same path)
 #   cgsolve_lu_vs_cedar_3d -> the 2D variant + 3D redist dryrun
 #   fused_conv_residual_3d -> the 2D variant + pallas3 fused-residual tests
@@ -52,7 +51,6 @@ SLOW_TIER = {
     "test_sharded_sweep_matches_xla_2d[spec3-False]",
     "test_line_relax_dist_interface_reduction",
     "test_line_relax_sharded_along_line_axis",
-    "test_dist3_plane_relax_matches_serial",
     "test_ml_relax_knob_selects_log_depth_algorithm",
     "test_anisotropic_line_y",
     "test_spike_matches_pcr_sweep",
@@ -64,8 +62,8 @@ SLOW_TIER = {
     "test_line_solver_backend_equivalence[line-x]",
     "test_pallas3_2d_tiled_27pt_rounded_halo",
     "test_split_levels_2_solver_equivalence",
-    # mesh-shape sweep: the (2,4) skew stays in the default tier
-    "test_dist2_mesh_shape_diversity[shape0]",
+    # mesh-shape sweep: (2,4) and the degenerate (8,1) stay in the
+    # default tier ((1,8) is the lane-axis transpose of (8,1))
     "test_dist2_mesh_shape_diversity[shape2]",
 }
 

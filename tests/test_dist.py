@@ -151,21 +151,26 @@ def test_dist2_irregular_size(mesh2):
 
 
 def test_dist2_odd_extent_partitioned_matches_serial(mesh2):
-    """Canonical 2^k+1 MG sizing (odd extents): the inert padding keeps
-    the fine AND first coarse level partitioned, and the padded solve's
+    """Canonical 2^k+1 MG sizing (odd extents): the inert padding pads to
+    a multiple of 2^L * mesh_dim (L = deepest level clearing min-local),
+    so EVERY feasible level stays partitioned, and the padded solve's
     trajectory on the real region equals the serial solver's (pad rows
     are decoupled: zero couplings, unit diagonal).  Reference behavior:
-    parity-aware uneven partition, 2d/mpi/solver.h:176-196."""
+    parity-aware uneven partition per level, 2d/mpi/solver.h:176-196 +
+    include/cedar/mpi/block_partition.h:8-34."""
     n = 129
     so = gallery.poisson(n, n)
     b = gallery.poisson_rhs(n, n)
     s_ser = Solver2(so, FivePt, Config(CONF))
     x_ser = s_ser.solve(b)
     s_dist = DistSolver2(so, FivePt, Config(CONF), mesh2)
-    # padded to a multiple of 2*mesh_dim: fine and L1 actually partitioned
-    assert s_dist.shapes[0] == (136, 132)
+    # padded to 2^L * mesh_dim multiples: levels 0-2 fully partitioned,
+    # level 3 (18^2: 18 % 4 != 0, local 9 >= min_local) still on "y"
+    assert s_dist.shapes[0] == (144, 144)
     assert s_dist.specs[0] == P("x", "y")
-    assert s_dist.specs[1][0] == "x" or s_dist.specs[1][1] == "y"
+    assert s_dist.specs[1] == P("x", "y")
+    assert s_dist.specs[2] == P("x", "y")
+    assert s_dist.specs[3][1] == "y"
     assert len(s_dist.levels) == len(s_ser.levels)
     x_dist = s_dist.solve(b)
     assert x_dist.shape == (n, n)

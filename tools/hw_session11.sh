@@ -1,0 +1,9 @@
+#!/bin/bash
+cd /root/repo
+export PYTHONUNBUFFERED=1
+O=tools/out
+while pgrep -f "hw_session\(10\|[1-9]\).sh\|profile_\|probe_" | grep -v $$ >/dev/null; do sleep 20; done
+date > $O/hw_session11.log
+timeout 1800 python tools/probe_planes_pieces.py >> $O/hw_session11.log 2>&1
+echo "== done ==" >> $O/hw_session11.log
+date >> $O/hw_session11.log

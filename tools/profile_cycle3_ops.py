@@ -51,27 +51,39 @@ def main(n=128, twenty_seven=True):
         print(f"  {label:34}: {ms:7.3f} ms", flush=True)
         return ms
 
-    # plain sweep (split two-pass / stream when supported)
-    t("split sweep", lambda q4, so2, b4: p3s.point_relax_split3(
+    halo_ok = p3s._plan_split(kind, kp, "sweep", nxp) is not None
+    if halo_ok:
+        # plain sweep, halo-window two-pass kernels
+        t("split sweep", lambda q4, so2, b4: p3s.point_relax_split3(
+            so2, q4, b4, kind, "down", nz2=nz2), q4, lev.so2, b4)
+        t("split sweep + res", lambda q4, so2, b4: p3s.point_relax_split3(
+            so2, q4, b4, kind, "down", fuse_residual=True, nz2=nz2)[0],
+          q4, lev.so2, b4)
+        t("split sweep + norm", lambda q4, so2, b4: p3s.point_relax_split3(
+            so2, q4, b4, kind, "down", fuse_norm=True, nz2=nz2)[0],
+          q4, lev.so2, b4)
+
+        # fused sweep+res+restrict
+        t("sweep_restrict (fused plan)",
+          lambda q4, so2, b4, pw4: p3s.sweep_restrict_split3(
+              so2, q4, b4, pw4, kind, "down", cshape, nz2=nz2)[0],
+          q4, lev.so2, b4, coarse.pw4)
+
+    # streaming wavefront sweeps
+    t("stream sweep", lambda q4, so2, b4: p3st.point_relax_stream3(
         so2, q4, b4, kind, "down", nz2=nz2), q4, lev.so2, b4)
-    t("split sweep + res", lambda q4, so2, b4: p3s.point_relax_split3(
+    t("stream sweep + res", lambda q4, so2, b4: p3st.point_relax_stream3(
         so2, q4, b4, kind, "down", fuse_residual=True, nz2=nz2)[0],
       q4, lev.so2, b4)
-    t("split sweep + norm", lambda q4, so2, b4: p3s.point_relax_split3(
+    t("stream sweep + norm", lambda q4, so2, b4: p3st.point_relax_stream3(
         so2, q4, b4, kind, "down", fuse_norm=True, nz2=nz2)[0],
       q4, lev.so2, b4)
-
-    # fused sweep+res+restrict
-    t("sweep_restrict (fused plan)",
-      lambda q4, so2, b4, pw4: p3s.sweep_restrict_split3(
-          so2, q4, b4, pw4, kind, "down", cshape, nz2=nz2)[0],
-      q4, lev.so2, b4, coarse.pw4)
 
     # standalone restriction of an emitted residual (timed via a scalar
     # dependency injected into the carried array — the loop carry must
     # keep its shape)
-    res4 = p3s.point_relax_split3(lev.so2, q4, b4, kind, "down",
-                                  fuse_residual=True, nz2=nz2)[1]
+    res4 = p3st.point_relax_stream3(lev.so2, q4, b4, kind, "down",
+                                    fuse_residual=True, nz2=nz2)[1]
     rplan = p3s._restrict_plan(nxp, kp, nz2)
     iplan = p3s._interp_plan(nxp, kp, nz2)
     print(f"  restrict plan={rplan} interp plan={iplan}", flush=True)
@@ -94,10 +106,16 @@ def main(n=128, twenty_seven=True):
       q4, cxp, res4, coarse.pw4)
 
     # interp + sweep (+ norm), as the cycle runs it
-    t("interp_sweep (+norm)",
-      lambda q4, cx, b4, res4: p3s.interp_sweep_split3(
-          coarse.pw4, cx, lev.so2, b4, q4, kind, "down",
-          fuse_norm=True, nz2=nz2, res4=res4)[0],
+    if halo_ok:
+        t("interp_sweep (+norm)",
+          lambda q4, cx, b4, res4: p3s.interp_sweep_split3(
+              coarse.pw4, cx, lev.so2, b4, q4, kind, "down",
+              fuse_norm=True, nz2=nz2, res4=res4)[0],
+          q4, cx, b4, res4)
+    t("interp_sweep stream (+norm)",
+      lambda q4, cx, b4, res4: p3st.interp_sweep_stream3(
+          coarse.pw4, cx, lev.so2, b4, q4, kind, "down", res4,
+          fuse_norm=True, nz2=nz2)[0],
       q4, cx, b4, res4)
 
     # whole split cycle and the coarse tail

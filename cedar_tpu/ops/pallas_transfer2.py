@@ -211,7 +211,9 @@ def _interp_parts(qc_m, qc_b, ci_m, ci_b, r2_m, rec2_m, Tc, W):
 
     Full (128-aligned) lane width throughout; the wc+1 shifts are rolls
     at aligned width then crops (unaligned lane slices lower
-    pathologically)."""
+    pathologically).  ``r2_m is None`` drops the res/diag correction
+    entirely (the F-cycle's first interpolation of each level has an
+    exactly-zero residual)."""
     qc = jnp.concatenate([qc_m[...], qc_b[...]], axis=0)
     ci = jnp.concatenate([ci_m[...], ci_b[...]], axis=1)
 
@@ -227,13 +229,16 @@ def _interp_parts(qc_m, qc_b, ci_m, ci_b, r2_m, rec2_m, Tc, W):
     def s1lr(a):
         return _shl(a[1 : 1 + Tc])[:, :W]
 
-    E0, E1 = _row_split(r2_m[0])
-    O0, O1 = _row_split(r2_m[1])
-    rE0, rE1 = _row_split(rec2_m[0])
-    rO0, rO1 = _row_split(rec2_m[1])
-    r01 = O0 * rO0     # fine (2k, 2j+1)
-    r10 = E1 * rE1     # fine (2k+1, 2j)
-    r11 = O1 * rO1     # fine (2k+1, 2j+1)
+    if r2_m is None:
+        r01 = r10 = r11 = 0.0
+    else:
+        E0, E1 = _row_split(r2_m[0])
+        O0, O1 = _row_split(r2_m[1])
+        rE0, rE1 = _row_split(rec2_m[0])
+        rO0, rO1 = _row_split(rec2_m[1])
+        r01 = O0 * rO0     # fine (2k, 2j+1)
+        r10 = E1 * rE1     # fine (2k+1, 2j)
+        r11 = O1 * rO1     # fine (2k+1, 2j+1)
 
     part00 = b0(qc)
     part01 = s1l(ci[L.LA]) * s1l(qc) + s1l(ci[L.LB]) * b0(qc) + r01
@@ -807,6 +812,56 @@ def interp_sweep_split(cip, qc, so2, b2, q2_presmoothed, kind, updown,
     if fuse_residual:
         return q_out, res
     return q_out
+
+
+def _interp_kernel_split_nores(qc_m, qc_b, ci_m, ci_b, out, *, Tc, W):
+    """Split-layout P·qc with no residual correction and no q addend —
+    the F-cycle's level-entry interpolation (fcycle.h:66-72: the new
+    level's iterate IS the interpolant)."""
+    part00, part01, part10, part11 = _interp_parts(
+        qc_m, qc_b, ci_m, ci_b, None, None, Tc, W
+    )
+
+    def ileave(a, b):
+        return jnp.stack([a, b], axis=1).reshape(2 * Tc, W)
+
+    out[0] = ileave(part00, part10)
+    out[1] = ileave(part01, part11)
+
+
+@functools.partial(jax.jit, static_argnames=("nxp", "W"))
+def interp_split_nores(cip, qc, nxp, W):
+    """``x2 = P qc`` directly in the lane-parity-split fine layout.
+
+    The F-cycle's per-level first interpolation has zero residual and a
+    zero fine iterate; streaming res2/rec2/q2 there (measured 1.49 ms at
+    4096² for the full interp_add vs ~0.45 ms of useful traffic) is pure
+    waste, and emitting split layout feeds ncycle_split with no
+    lane-split pass."""
+    rows = nxp // 2 + _H
+    cols = W + 128
+    qcp = jnp.zeros((rows, cols), qc.dtype)
+    qcp = qcp.at[: qc.shape[0], : qc.shape[1]].set(qc)
+    nyr = cip.shape[2]
+    Tc = _TC
+    nb = nxp // (2 * Tc)
+
+    kernel = functools.partial(_interp_kernel_split_nores, Tc=Tc, W=W)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((Tc, cols), lambda i: (i, 0)),
+            pl.BlockSpec((_H, cols), lambda i: ((i + 1) * (Tc // _H), 0)),
+            pl.BlockSpec((8, Tc, nyr), lambda i: (0, i, 0)),
+            pl.BlockSpec((8, _H, nyr),
+                         lambda i: (0, (i + 1) * (Tc // _H), 0)),
+        ],
+        out_specs=pl.BlockSpec((2, 2 * Tc, W), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((2, nxp, W), qc.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_SCOPED_VMEM),
+        interpret=INTERPRET,
+    )(qcp, qcp, cip, cip)
 
 
 @jax.jit

@@ -434,6 +434,26 @@ def fmg_cycle(
         cb = jax.lax.with_sharding_constraint(cb, constraints[lvl + 1])
     cx = fmg_cycle(levels, kinds, lvl + 1, cb, settings, periodic,
                    constraints)
+    split_here = (
+        constraints is None and _split_ok_at(levels, lvl)
+        and settings.relaxation == RelaxType.point
+        and settings.nrelax_pre >= 1 and settings.nrelax_post >= 1
+    )
+    if split_here:
+        from cedar_tpu.ops import pallas2_split as ps
+        from cedar_tpu.ops import pallas_transfer2 as pt
+
+        # level entry: x2 = P cx directly in split layout — the residual
+        # is exactly zero here, so the full interp_add's res/rec/q
+        # streams (measured 1.49 ms at 4096² vs ~0.45 of useful traffic)
+        # and the lane-split entry pass are skipped
+        nx, ny = b.shape
+        nxp, W, _ = ps.split_dims(nx, ny)
+        x2 = pt.interp_split_nores(coarse.cip, cx, nxp, W)
+        x2, _ = ncycle_split(levels, kinds, x2,
+                             ps.lane_split(b, nxp, W), settings, periodic,
+                             lvl=lvl)
+        return ps.lane_merge(x2, nx, ny)
     zero = jnp.zeros_like(b)
     if use_pt:
         from cedar_tpu.ops import pallas_transfer2 as pt
@@ -443,17 +463,6 @@ def fmg_cycle(
                           zero)
     else:
         x = interp_add(coarse.ci, lev.so, cx, zero, zero, periodic)
-    if constraints is None and _split_ok_at(levels, lvl) \
-            and settings.relaxation == RelaxType.point \
-            and settings.nrelax_pre >= 1 and settings.nrelax_post >= 1:
-        from cedar_tpu.ops import pallas2_split as ps
-
-        nx, ny = b.shape
-        nxp, W, _ = ps.split_dims(nx, ny)
-        x2, _ = ncycle_split(levels, kinds, ps.lane_split(x, nxp, W),
-                             ps.lane_split(b, nxp, W), settings, periodic,
-                             lvl=lvl)
-        return ps.lane_merge(x2, nx, ny)
     return ncycle(levels, kinds, lvl, x, b, settings, periodic, 1,
                   constraints)
 

@@ -170,3 +170,41 @@ def test_split_levels_2_solver_equivalence(monkeypatch):
                                atol=2e-5)
     np.testing.assert_allclose(np.asarray(s_xla.history),
                                np.asarray(s_pal.history), rtol=1e-3)
+
+
+def test_fcycle_split_path_matches_xla(monkeypatch):
+    """F-cycle with the pallas backend: per-level split-resident
+    correction cycles + the no-residual level-entry interpolation
+    (interp_split_nores) match the XLA-backend F-cycle."""
+    import jax
+
+    from cedar_tpu import FivePt, Solver2, gallery
+    from cedar_tpu.config import Config
+
+    dd = jax.config.jax_default_device
+    on_tpu = (dd.platform == "tpu" if dd is not None
+              else jax.default_backend() == "tpu")
+    if not on_tpu:
+        from cedar_tpu.ops import pallas2, pallas_lines2, pallas_transfer2
+
+        monkeypatch.setattr(pallas2, "INTERPRET", True)
+        monkeypatch.setattr(pallas2_split, "INTERPRET", True)
+        monkeypatch.setattr(pallas_transfer2, "INTERPRET", True)
+        monkeypatch.setattr(pallas_lines2, "INTERPRET", True)
+
+    n = 256
+    so = jnp.asarray(np.asarray(gallery.poisson(n, n)), jnp.float32)
+    b = jnp.asarray(np.asarray(gallery.poisson_rhs(n, n)), jnp.float32)
+    conf = {"log": [], "solver": {"cycle": {"type": "f"}, "tol": 1e-5,
+                                  "max-iter": 3}}
+    s_xla = Solver2(so, FivePt, Config({**conf,
+                                        "kernels": {"backend": "xla"}}))
+    x_xla = s_xla.solve(b)
+    s_pal = Solver2(so, FivePt, Config({**conf,
+                                        "kernels": {"backend": "pallas"}}))
+    assert s_pal.levels[0].so2 is not None
+    x_pal = s_pal.solve(b)
+    np.testing.assert_allclose(np.asarray(x_xla), np.asarray(x_pal),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_xla.history),
+                               np.asarray(s_pal.history), rtol=1e-3)

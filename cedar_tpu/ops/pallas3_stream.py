@@ -423,8 +423,12 @@ def _stream_call3(so4, q4, b4, kind, updown, nz2, T, emit, W=None, h=0):
             jax.ShapeDtypeStruct(res_shape, q4.dtype),
         ],
         scratch_shapes=scratch,
+        # 124M: the 27-pt fused-norm pass composed with the pointwise
+        # interp kernel allocates 120.57M scoped (the solo call fits
+        # 119.4M under 120M; composition shifts the stack by ~0.6M) —
+        # measured usable VMEM is ~126M (NOTES), so 124M keeps margin
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+            vmem_limit_bytes=124 * 1024 * 1024,
         ),
         interpret=INTERPRET,
     )(*operands)

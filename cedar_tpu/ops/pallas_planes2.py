@@ -50,9 +50,10 @@ def _tile_batch(nxp: int, nyp: int, ndir: int) -> int:
 
     per calibrated on v5e: tb=64 five_pt 128² planes allocated 103 MB
     scoped vmem (~25 plane-equivalents live: streams + the four solves'
-    carries and unrolled PCR temps); keep margin."""
+    carries and unrolled PCR temps); keep margin.  +2 covers the
+    optional fused-residual output stream."""
     planeb = nxp * nyp * 4
-    per = 2 * (ndir + 3) + 24
+    per = 2 * (ndir + 3) + 24 + 2
     return min(_VMEM_BUDGET // (planeb * per), 256)
 
 
@@ -154,16 +155,25 @@ def _solve_y(lo, dg, up, r, h=_HY):
     return jnp.concatenate(x, axis=-1)
 
 
-def _smooth_kernel(o_m, w_m, s_m, sw_m, nw_m, b_m, q_m, out_m,
-                   *, kind, updown, nine):
+def _xsplit(a):
+    """Even/odd rows (a Mosaic-supported sublane reshape)."""
+    r = a.reshape(a.shape[:-2] + (a.shape[-2] // 2, 2, a.shape[-1]))
+    return r[..., 0, :], r[..., 1, :]
+
+
+def _xmerge(e, o):
+    """Interleave even/odd row halves back (sublane stack+reshape)."""
+    st = jnp.stack([e, o], axis=-2)
+    return st.reshape(st.shape[:-3] + (2 * e.shape[-2],) + st.shape[-1:])
+
+
+def _smooth_kernel(o_m, w_m, s_m, sw_m, nw_m, b_m, q_m, out_m, res_m,
+                   *, kind, updown, nine, nsweeps, emit_res):
     o, w, s, b = o_m[...], w_m[...], s_m[...], b_m[...]
     q = q_m[...]
     if nine:
         sw, nw = sw_m[...], nw_m[...]
-    ny = q.shape[-1]
-    nx = q.shape[-2]
     ly_iota = jax.lax.broadcasted_iota(jnp.int32, q.shape, q.ndim - 1)
-    lx_iota = jax.lax.broadcasted_iota(jnp.int32, q.shape, q.ndim - 2)
 
     def rhs_x(q):
         """b + couplings to neighboring x-lines (lines2._line_rhs_x)."""
@@ -178,48 +188,80 @@ def _smooth_kernel(o_m, w_m, s_m, sw_m, nw_m, b_m, q_m, out_m,
             )
         return out
 
-    def rhs_y(q):
-        """b + couplings to neighboring y-lines (transposed formula)."""
-        out = b + w * _shx(q, -1) + _shx(w, 1) * _shx(q, 1)
-        if nine:
-            out = (
-                out
-                + sw * _shx(_ry(q, -1), -1)
-                + _ry(nw, 1) * _shx(_ry(q, 1), -1)
-                + _shx(nw, 1) * _shx(_ry(q, -1), 1)
-                + _shx(_ry(sw, 1), 1) * _shx(_ry(q, 1), 1)
-            )
-        return out
-
     def pass_x(q, parity):
         lo = -w
         up = _shx(lo, 1)
         sol = _solve_x(lo, o, up, rhs_x(q))
         return jnp.where((ly_iota % 2) == parity, sol, q)
 
+    # y-solve halves: x-lines are LANES of the zebra for pass_x, but
+    # pass_y's zebra colors are ROW (sublane) parities — slice the
+    # active parity's rows (a supported sublane reshape) and solve only
+    # those lines: half the rhs and half the PCR/Thomas compute, where
+    # the masked formulation solved everything and discarded half
     def pass_y(q, parity):
-        lo = -s
-        up = _ry(lo, 1)
+        qe, qo = _xsplit(q)
+
+        def down(a):
+            """Value at row z-1 of each active row (z of parity p)."""
+            ae, ao = _xsplit(a)
+            return _shx(ao, -1) if parity == 0 else ae
+
+        def up_(a):
+            ae, ao = _xsplit(a)
+            return ao if parity == 0 else _shx(ae, 1)
+
+        def act(a):
+            ae, ao = _xsplit(a)
+            return ae if parity == 0 else ao
+
+        def cup(a):
+            """Coefficient at row z+1 of each active row."""
+            ae, ao = _xsplit(a)
+            return ao if parity == 0 else _shx(ae, 1)
+
+        r = act(b) + act(w) * down(q) + cup(w) * up_(q)
+        if nine:
+            r = (
+                r
+                + act(sw) * down(_ry(q, -1))
+                + act(_ry(nw, 1)) * down(_ry(q, 1))
+                + cup(nw) * up_(_ry(q, -1))
+                + cup(_ry(sw, 1)) * up_(_ry(q, 1))
+            )
+        lo = -act(s)
+        upd = _ry(lo, 1)
         # wrap of the pure roll puts S[...,0]=0 at the last lane: exact
-        sol = _solve_y(lo, o, up, rhs_y(q))
-        return jnp.where((lx_iota % 2) == parity, sol, q)
+        sol = _solve_y(lo, act(o), upd, r)
+        if parity == 0:
+            return _xmerge(sol, qo)
+        return _xmerge(qe, sol)
 
     order = (1, 0) if updown == "down" else (0, 1)
-    if updown == "down":
-        for p in order:
-            q = pass_x(q, p)
-        for p in order:
-            q = pass_y(q, p)
-    else:
-        for p in order:
-            q = pass_y(q, p)
-        for p in order:
-            q = pass_x(q, p)
+    for _ in range(nsweeps):
+        if updown == "down":
+            for p in order:
+                q = pass_x(q, p)
+            for p in order:
+                q = pass_y(q, p)
+        else:
+            for p in order:
+                q = pass_y(q, p)
+            for p in order:
+                q = pass_x(q, p)
     out_m[...] = q
+    if emit_res:
+        # full-stencil residual of the smoothed iterate in the same HBM
+        # pass (rhs_x already carries every S/corner coupling; adding
+        # the W-direction terms completes b + offdiag·q, cf.
+        # stencil2.residual)
+        res_m[...] = (rhs_x(q) + w * _shx(q, -1)
+                      + _shx(w, 1) * _shx(q, 1) - o * q)
 
 
-@functools.partial(jax.jit, static_argnames=("kind", "updown", "tb"))
-def _smooth_call(so, q, b, kind, updown, tb):
+@functools.partial(jax.jit, static_argnames=("kind", "updown", "tb",
+                                             "nsweeps", "emit_res"))
+def _smooth_call(so, q, b, kind, updown, tb, nsweeps=1, emit_res=False):
     B, nxp, nyp = q.shape
     assert B % tb == 0
     nine = kind == StencilKind.nine_pt
@@ -235,23 +277,35 @@ def _smooth_call(so, q, b, kind, updown, tb):
         swm = nwm = z
 
     kernel = functools.partial(_smooth_kernel, kind=kind, updown=updown,
-                               nine=nine)
-    return pl.pallas_call(
+                               nine=nine, nsweeps=nsweeps,
+                               emit_res=emit_res)
+    res_spec = (spec if emit_res
+                else pl.BlockSpec((1, 8, 128), lambda i: (0, 0, 0)))
+    res_shape = (B, nxp, nyp) if emit_res else (1, 8, 128)
+    out, res = pl.pallas_call(
         kernel,
         grid=(B // tb,),
         in_specs=[spec, spec, spec] + corner_specs + [spec, spec],
-        out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((B, nxp, nyp), q.dtype),
+        out_specs=[spec, res_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, nxp, nyp), q.dtype),
+            jax.ShapeDtypeStruct(res_shape, q.dtype),
+        ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_BUDGET,
         ),
         interpret=INTERPRET,
     )(so[:, Dir2.O], so[:, Dir2.W], so[:, Dir2.S], swm, nwm, b, q)
+    if emit_res:
+        return out, res
+    return out
 
 
-def line_xy_smooth_batched(so_b, q_b, b_b, kind, updown):
-    """One complete line-xy smooth (x zebra pair + y zebra pair, order by
-    ``updown``) over a batch of independent planes.
+def line_xy_smooth_batched(so_b, q_b, b_b, kind, updown, nsweeps=1,
+                           emit_res=False):
+    """``nsweeps`` complete line-xy smooths (x zebra pair + y zebra pair,
+    order by ``updown``) over a batch of independent planes, optionally
+    emitting the final residual in the same HBM pass.
 
     so_b: (B, ndir, nx, ny); q_b/b_b: (B, nx, ny)."""
     B, nx, ny = q_b.shape
@@ -271,8 +325,12 @@ def line_xy_smooth_batched(so_b, q_b, b_b, kind, updown):
     tb = min(tb, B)
     while B % tb:
         tb -= 1
-    out = _smooth_call(sop, qp, bp, kind, updown, tb)
-    return out[:, :nx, :ny] if (nxp, nyp) != (nx, ny) else out
+    out = _smooth_call(sop, qp, bp, kind, updown, tb, nsweeps, emit_res)
+    if (nxp, nyp) == (nx, ny):
+        return out
+    if emit_res:
+        return out[0][:, :nx, :ny], out[1][:, :nx, :ny]
+    return out[:, :nx, :ny]
 
 
 @functools.lru_cache(maxsize=None)
@@ -310,3 +368,45 @@ def line_xy_smooth(so, q, b, kind, updown):
     """Batch-aware fused line-xy smooth (one plane, or the vmapped plane
     batch via :func:`_vmap_core`)."""
     return _vmap_core(kind, updown)(so, q, b)
+
+
+@functools.lru_cache(maxsize=None)
+def _vmap_nsmooth_res(kind, updown, nsweeps):
+    """custom_vmap: ``nsweeps`` smooths + the final residual, one kernel
+    per plane batch (the embedded plane cycle's whole pre-smoothing
+    stage — replaces nsweeps smooth dispatches plus a separate residual
+    op and its q round trip)."""
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def core(so, q, b):
+        from cedar_tpu.ops import pallas_lines2 as pla
+        from cedar_tpu.ops.stencil2 import residual
+
+        for _ in range(nsweeps):
+            if updown == "down":
+                q = pla.line_relax_x(so, q, b, kind, updown)
+                q = pla.line_relax_y(so, q, b, kind, updown)
+            else:
+                q = pla.line_relax_y(so, q, b, kind, updown)
+                q = pla.line_relax_x(so, q, b, kind, updown)
+        return q, residual(so, q, b, kind)
+
+    @core.def_vmap
+    def _rule(axis_size, in_batched, so, q, b):
+        def bc(a, batched):
+            return a if batched else jnp.broadcast_to(
+                a, (axis_size,) + a.shape)
+
+        out = line_xy_smooth_batched(
+            bc(so, in_batched[0]), bc(q, in_batched[1]),
+            bc(b, in_batched[2]), kind, updown, nsweeps, emit_res=True)
+        return out, (True, True)
+
+    return core
+
+
+def line_xy_nsmooth_res(so, q, b, kind, updown, nsweeps):
+    """``nsweeps`` line-xy smooths with the final residual fused into the
+    same pass.  Returns ``(q, res)``."""
+    return _vmap_nsmooth_res(kind, updown, nsweeps)(so, q, b)

@@ -302,6 +302,21 @@ def fuse_final_ok(levels, kinds, shape, dtype, settings: MLSettings,
     )
 
 
+def _line_fused_ok(settings, kind, x, periodic, shard) -> bool:
+    """Whether line-xy smoothing takes the batched whole-smooth kernel
+    with fused multi-sweep + residual (the embedded plane-relaxation hot
+    path — matches _smooth's line-xy Pallas gating)."""
+    if (settings.relaxation != RelaxType.line_xy
+            or settings.kernel_backend != "pallas"
+            or shard is not None or settings.ml_relax_enabled
+            or any(periodic)):
+        return False
+    from cedar_tpu.ops import pallas_lines2, pallas_planes2
+
+    return (pallas_planes2.supported(x.shape, x.dtype, kind, periodic)
+            and pallas_lines2.supported(x.shape, x.dtype, kind, periodic))
+
+
 def ncycle(
     levels,
     kinds,
@@ -336,6 +351,17 @@ def ncycle(
         with scope("relaxation-residual-fused"):
             x, res = _pallas_relax(lev, kind, x, b, "down", shard,
                                    fuse_residual=True, periodic=periodic)
+    elif (
+        settings.nrelax_pre >= 1
+        and _line_fused_ok(settings, kind, x, periodic, shard)
+    ):
+        # line-xy: ALL pre-smooths + the residual in one whole-smooth
+        # pass (under vmap: one VMEM-resident kernel per plane batch)
+        from cedar_tpu.ops import pallas_planes2
+
+        with scope("relaxation-residual-fused"):
+            x, res = pallas_planes2.line_xy_nsmooth_res(
+                lev.so, x, b, kind, "down", settings.nrelax_pre)
     else:
         with scope("relaxation"):
             x = _nsmooth(lev, kind, x, b, settings, "down", periodic,

@@ -73,3 +73,44 @@ def test_fused_smooth_vmapped(monkeypatch):
         ref = _ref_smooth(sos[i], qs[i], bs[i], kind, "down")
         np.testing.assert_allclose(np.asarray(ref), np.asarray(got[i]),
                                    atol=3e-4, rtol=3e-4)
+
+
+@pytest.mark.parametrize("nine", [False, True])
+@pytest.mark.parametrize("updown", ["down", "up"])
+def test_nsmooth_res_matches_composed(nine, updown, monkeypatch):
+    """nsweeps fused smooths + residual == composed sweeps + XLA residual
+    (and the x-parity-split y-solve matches the masked formulation)."""
+    if not ON_TPU:
+        monkeypatch.setattr(pp, "INTERPRET", True)
+        monkeypatch.setattr(lines2_pla, "INTERPRET", True)
+    from test_kernels_2d import random_so
+    from cedar_tpu.ops.stencil2 import residual
+
+    nx, ny = 32, 128
+    kind = StencilKind.nine_pt if nine else StencilKind.five_pt
+    rng = np.random.default_rng(57 + nine)
+    so = jnp.asarray(random_so(rng, nx, ny, nine), jnp.float32)
+    q = jnp.asarray(rng.standard_normal((nx, ny)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((nx, ny)), jnp.float32)
+
+    ref = q
+    for _ in range(2):
+        ref = _ref_smooth(so, ref, b, kind, updown)
+    rres = residual(so, ref, b, kind)
+
+    # batched path (vmapped over a size-3 batch of identical problems)
+    got, gres = jax.vmap(
+        lambda so_, q_, b_: pp.line_xy_nsmooth_res(so_, q_, b_, kind,
+                                                   updown, 2)
+    )(jnp.stack([so] * 3), jnp.stack([q] * 3), jnp.stack([b] * 3))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got[1]),
+                               atol=3e-4, rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(rres), np.asarray(gres[1]),
+                               atol=3e-4, rtol=3e-4)
+
+    # unbatched fallback
+    got1, res1 = pp.line_xy_nsmooth_res(so, q, b, kind, updown, 2)
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got1),
+                               atol=3e-4, rtol=3e-4)
+    np.testing.assert_allclose(np.asarray(rres), np.asarray(res1),
+                               atol=3e-4, rtol=3e-4)

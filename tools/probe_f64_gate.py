@@ -1,4 +1,6 @@
 """Run the 400^2 reference-history gate in float64 ON the TPU."""
+import sys, os
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 import time
 import jax
 jax.config.update('jax_enable_x64', True)

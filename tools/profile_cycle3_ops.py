@@ -100,23 +100,24 @@ def main(n=128, twenty_seven=True):
     nxc, nyc, nzc = cshape
     cxp = jnp.pad(cx, ((0, rows - nxc), (0, ny2 - nyc), (0, nz2 - nzc)))
     cxp = cxp.reshape(rows, kp)
+    diag4 = lev.so2[0]
     t("pointwise interp",
-      lambda q4, cxp, res4, pw4: p3s._interp_call3(
-          pw4, cxp, lev.so2[0], res4, q4, nz2, iplan),
-      q4, cxp, res4, coarse.pw4)
+      lambda q4, cxp, res4, pw4, diag4: p3s._interp_call3(
+          pw4, cxp, diag4, res4, q4, nz2, iplan),
+      q4, cxp, res4, coarse.pw4, diag4)
 
     # interp + sweep (+ norm), as the cycle runs it
     if halo_ok:
         t("interp_sweep (+norm)",
-          lambda q4, cx, b4, res4: p3s.interp_sweep_split3(
-              coarse.pw4, cx, lev.so2, b4, q4, kind, "down",
+          lambda q4, cx, b4, res4, pw4, so2: p3s.interp_sweep_split3(
+              pw4, cx, so2, b4, q4, kind, "down",
               fuse_norm=True, nz2=nz2, res4=res4)[0],
-          q4, cx, b4, res4)
+          q4, cx, b4, res4, coarse.pw4, lev.so2)
     t("interp_sweep stream (+norm)",
-      lambda q4, cx, b4, res4: p3st.interp_sweep_stream3(
-          coarse.pw4, cx, lev.so2, b4, q4, kind, "down", res4,
+      lambda q4, cx, b4, res4, pw4, so2: p3st.interp_sweep_stream3(
+          pw4, cx, so2, b4, q4, kind, "down", res4,
           fuse_norm=True, nz2=nz2)[0],
-      q4, cx, b4, res4)
+      q4, cx, b4, res4, coarse.pw4, lev.so2)
 
     # whole split cycle and the coarse tail
     t("ncycle_split (L0)",

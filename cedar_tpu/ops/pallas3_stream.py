@@ -246,9 +246,19 @@ def _stream_body(
     pad_h = jnp.zeros((4, S, kp), dtype)
 
     if emit in ("res", "norm"):
-        # residual stage (lag P + 1): fresh rows [iT - S, iT + T - S)
+        # residual stage (lag P + 1): fresh rows [iT - S, iT + T - S).
+        # Octants of the LAST phase have res = 0 by construction (their
+        # equation was just solved and no neighbor updates after) — skip
+        # their offdiag gather entirely (7-pt: half the residual
+        # compute; what the recompute would produce is only the
+        # diag*(q*recip) rounding junk, ~eps, below the f32 floor)
+        last = set(map(tuple, phases[-1]))
+        zero_pc = jnp.zeros((R2, kp), dtype)
         res_o = {}
         for o in _OCTS:
+            if o in last:
+                res_o[o] = zero_pc
+                continue
             r = b_oct[o] + offdiag(o, q_oct) - diag[o] * q_oct[o]
             res_o[o] = r
         rf = _OctantField.__new__(_OctantField)

@@ -201,12 +201,18 @@ def main():
     from cedar_tpu.config import Config
 
     # -- correctness gate: reference residual history, 400² float64 ---------
-    # f64 + CPU in a subprocess (x64 must be set before jax initializes,
-    # and the throughput run below wants the default f32 TPU config)
+    # f64 in a subprocess (x64 must be set before jax initializes, and
+    # the throughput run below wants the default f32 TPU config).  Runs
+    # ON the default device — f64 executes on the TPU (probe_f64_gate:
+    # digit-for-digit history match on-device); BENCH_GATE=cpu pins the
+    # gate to the CPU backend instead (faster compile, same digits)
+    on_cpu = ("jax.config.update('jax_default_device',"
+              " jax.devices('cpu')[0]);"
+              if os.environ.get("BENCH_GATE") == "cpu" else "")
     gate_src = (
         "import jax;"
         "jax.config.update('jax_enable_x64', True);"
-        "jax.config.update('jax_default_device', jax.devices('cpu')[0]);"
+        + on_cpu +
         "from cedar_tpu import FivePt, Solver2, gallery;"
         "from cedar_tpu.config import Config;"
         "so = gallery.poisson(400, 400);"

@@ -44,6 +44,8 @@ from cedar_tpu.ops.pallas3_split import (
     _OctantField,
     _mk_offdiag,
     _phase_octants,
+    _roll,
+    _shiftc,
     _table_for,
 )
 
@@ -178,12 +180,143 @@ def _stream_kernel3_panel(
     )
 
 
+def _stream_body_7cls(
+    i, so_v, b_v, q_v,
+    out_m, res_m,
+    c_so, c_b, c_q, c_qh, c_rh,
+    *, updown, T, Pp, S, P, nxp, nz2, emit, hl,
+):
+    """Class-dense 7-pt wavefront body (no octant x-split).
+
+    The 7-pt red-black color of a split-class point is
+    ``(x + py + pz) % 2`` — independent of the lanes — so each phase is
+    a row-masked dense update of every class: 6 coupling terms on full
+    (R, kp) windows, ZERO x-split/interleave machinery.  The masked
+    formulation recomputes the inactive parity's update (2x the octant
+    variant's flops), but the sweep is Mosaic-overhead-bound, not
+    flop-bound: fewer, wider ops win (measured; see NOTES r5)."""
+    ndir = so_v.shape[0]
+    kp = q_v.shape[2]
+    Wl = out_m.shape[2]
+    dtype = q_v.dtype
+
+    def interior(a):
+        return a[..., hl: hl + Wl] if hl else a
+
+    @pl.when(i == 0)
+    def _():
+        c_so[...] = jnp.zeros(c_so.shape, dtype)
+        c_so[Dir3.P] = jnp.ones((4, Pp, kp), dtype)
+        c_b[...] = jnp.zeros((4, Pp, kp), dtype)
+        c_q[...] = jnp.zeros((4, Pp, kp), dtype)
+        c_qh[...] = jnp.zeros((4, T, kp), dtype)
+        if emit == "res":
+            c_rh[...] = jnp.zeros((4, T, kp), dtype)
+
+    so = jnp.concatenate([c_so[...], so_v], axis=2)
+    b = jnp.concatenate([c_b[...], b_v], axis=1)
+    q = jnp.concatenate([c_q[...], q_v], axis=1)
+    R = Pp + T
+    G0 = i * T - Pp
+
+    gx = G0 + jax.lax.broadcasted_iota(jnp.int32, (R, kp), 0)
+    zero = jnp.zeros((), dtype)
+    himask = gx < (nxp - 1)
+
+    # loop-invariant coupling fields per class c = 2*py + pz
+    PW, PS, B, PC = so[Dir3.PW], so[Dir3.PS], so[Dir3.B], so[Dir3.P]
+    cW, cE, cS, cN, cB, cT = {}, {}, {}, {}, {}, {}
+    for py in (0, 1):
+        for pz in (0, 1):
+            c = 2 * py + pz
+            cW[c] = PW[c]
+            cE[c] = jnp.where(himask, _shiftc(PW[c], 1, 0), zero)
+            cS[c] = PS[c]                       # -> class c^2
+            cN[c] = _shiftc(PS[c ^ 2], 0, nz2 if py == 1 else 0)
+            cB[c] = B[c]                        # -> class c^1
+            cT[c] = _shiftc(B[c ^ 1], 0, 1 if pz == 1 else 0)
+    rec = {c: 1.0 / PC[c] for c in range(4)}
+
+    def offdiag(c, q):
+        py, pz = c // 2, c % 2
+        acc = cW[c] * _roll(q[c], -1, 0)
+        acc = acc + cE[c] * _roll(q[c], 1, 0)
+        acc = acc + cS[c] * _roll(q[c ^ 2], 0, -nz2 if py == 0 else 0)
+        acc = acc + cN[c] * _roll(q[c ^ 2], 0, nz2 if py == 1 else 0)
+        acc = acc + cB[c] * _roll(q[c ^ 1], 0, -1 if pz == 0 else 0)
+        acc = acc + cT[c] * _roll(q[c ^ 1], 0, 1 if pz == 1 else 0)
+        return acc
+
+    order = (0, 1) if updown == "up" else (1, 0)
+    qs = [q[c] for c in range(4)]
+    for s, col in enumerate(order, start=1):
+        lo, hi = i * T - s, i * T + T - s
+        upds = {}
+        for c in range(4):
+            upds[c] = (b[c] + offdiag(c, qs)) * rec[c]
+        for c in range(4):
+            py, pz = c // 2, c % 2
+            mask = (_stage_mask(gx, lo, hi)
+                    & (((gx + py + pz) % 2) == col))
+            qs[c] = jnp.where(mask, upds[c], qs[c])
+
+    full = jnp.stack(qs)                       # (4, R, kp)
+    out_m[...] = interior(jnp.concatenate(
+        [c_qh[...][:, : T - S], full[:, Pp - S: Pp]], axis=1
+    ))
+    new_qh = full[:, Pp: Pp + (T - S)]
+    pad_h = jnp.zeros((4, S, kp), dtype)
+
+    if emit in ("res", "norm"):
+        last = order[-1]
+        rs = []
+        for c in range(4):
+            py, pz = c // 2, c % 2
+            r = b[c] + offdiag(c, qs) - PC[c] * qs[c]
+            # last-color rows: exact zeros (equation just solved)
+            r = jnp.where(((gx + py + pz) % 2) == last, zero, r)
+            rs.append(r)
+        resw = jnp.stack(rs)
+        if emit == "norm":
+            wrow = jax.lax.broadcasted_iota(jnp.int32, (4, R, kp), 1)
+            g = G0 + wrow
+            valid = ((g >= i * T - S) & (g < i * T + T - S)
+                     & (g >= 0) & (g < nxp))
+            r2 = jnp.where(valid, resw, 0.0)
+            r2 = r2 * r2
+            s4 = r2[0] + r2[1] + r2[2] + r2[3]
+            acc = s4[0:1]
+            for r in range(1, R):
+                acc = acc + s4[r: r + 1]
+            res_m[...] = interior(jnp.concatenate(
+                [acc, jnp.zeros((7, kp), dtype)], axis=0
+            ))
+        else:
+            res_m[...] = interior(jnp.concatenate(
+                [c_rh[...][:, : T - S], resw[:, Pp - S: Pp]], axis=1
+            ))
+            c_rh[...] = jnp.concatenate(
+                [resw[:, Pp: Pp + (T - S)], pad_h], axis=1
+            )
+
+    c_qh[...] = jnp.concatenate([new_qh, pad_h], axis=1)
+    c_so[...] = so[:, :, T: T + Pp]
+    c_b[...] = b[:, T: T + Pp]
+    c_q[...] = full[:, T: T + Pp]
+
+
 def _stream_body(
     i, so_v, b_v, q_v,
     out_m, res_m,
     c_so, c_b, c_q, c_qh, c_rh,
     *, kind, updown, T, Pp, S, P, nxp, nz2, emit, hl,
 ):
+    if kind == StencilKind.seven_pt:
+        return _stream_body_7cls(
+            i, so_v, b_v, q_v, out_m, res_m, c_so, c_b, c_q, c_qh, c_rh,
+            updown=updown, T=T, Pp=Pp, S=S, P=P, nxp=nxp, nz2=nz2,
+            emit=emit, hl=hl,
+        )
     ndir = so_v.shape[0]
     kp = q_v.shape[2]          # window lane width (incl. panel halos)
     Wl = out_m.shape[2]        # interior lane width written out

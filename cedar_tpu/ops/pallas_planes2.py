@@ -398,9 +398,16 @@ def _vmap_nsmooth_res(kind, updown, nsweeps):
             return a if batched else jnp.broadcast_to(
                 a, (axis_size,) + a.shape)
 
-        out = line_xy_smooth_batched(
-            bc(so, in_batched[0]), bc(q, in_batched[1]),
-            bc(b, in_batched[2]), kind, updown, nsweeps, emit_res=True)
+        so_b, q_b, b_b = (bc(so, in_batched[0]), bc(q, in_batched[1]),
+                          bc(b, in_batched[2]))
+        # chain single-sweep kernels rather than unrolling nsweeps
+        # in-kernel: the doubled body sends Mosaic into pathological
+        # compile times (measured: the 6-level embedded hierarchy's
+        # compile blew a 30-minute budget; single-sweep bodies are fine)
+        for _ in range(nsweeps - 1):
+            q_b = line_xy_smooth_batched(so_b, q_b, b_b, kind, updown)
+        out = line_xy_smooth_batched(so_b, q_b, b_b, kind, updown, 1,
+                                     emit_res=True)
         return out, (True, True)
 
     return core

@@ -194,48 +194,32 @@ def _smooth_kernel(o_m, w_m, s_m, sw_m, nw_m, b_m, q_m, out_m, res_m,
         sol = _solve_x(lo, o, up, rhs_x(q))
         return jnp.where((ly_iota % 2) == parity, sol, q)
 
-    # y-solve halves: x-lines are LANES of the zebra for pass_x, but
-    # pass_y's zebra colors are ROW (sublane) parities — slice the
-    # active parity's rows (a supported sublane reshape) and solve only
-    # those lines: half the rhs and half the PCR/Thomas compute, where
-    # the masked formulation solved everything and discarded half
-    def pass_y(q, parity):
-        qe, qo = _xsplit(q)
+    # NB: an x-parity-split pass_y (solve only the active row parity —
+    # half the PCR work) was built and REVERTED: the split/merge
+    # plumbing sent the Mosaic compile from tens of seconds to 519 s
+    # for the single-sweep kernel (measured r5), unusable across the
+    # embedded hierarchy's many shapes.  Masked full solves it is.
+    lx_iota = jax.lax.broadcasted_iota(jnp.int32, q.shape, q.ndim - 2)
 
-        def down(a):
-            """Value at row z-1 of each active row (z of parity p)."""
-            ae, ao = _xsplit(a)
-            return _shx(ao, -1) if parity == 0 else ae
-
-        def up_(a):
-            ae, ao = _xsplit(a)
-            return ao if parity == 0 else _shx(ae, 1)
-
-        def act(a):
-            ae, ao = _xsplit(a)
-            return ae if parity == 0 else ao
-
-        def cup(a):
-            """Coefficient at row z+1 of each active row."""
-            ae, ao = _xsplit(a)
-            return ao if parity == 0 else _shx(ae, 1)
-
-        r = act(b) + act(w) * down(q) + cup(w) * up_(q)
+    def rhs_y(q):
+        """b + couplings to neighboring y-lines (transposed formula)."""
+        out = b + w * _shx(q, -1) + _shx(w, 1) * _shx(q, 1)
         if nine:
-            r = (
-                r
-                + act(sw) * down(_ry(q, -1))
-                + act(_ry(nw, 1)) * down(_ry(q, 1))
-                + cup(nw) * up_(_ry(q, -1))
-                + cup(_ry(sw, 1)) * up_(_ry(q, 1))
+            out = (
+                out
+                + sw * _shx(_ry(q, -1), -1)
+                + _ry(nw, 1) * _shx(_ry(q, 1), -1)
+                + _shx(nw, 1) * _shx(_ry(q, -1), 1)
+                + _shx(_ry(sw, 1), 1) * _shx(_ry(q, 1), 1)
             )
-        lo = -act(s)
-        upd = _ry(lo, 1)
+        return out
+
+    def pass_y(q, parity):
+        lo = -s
+        up = _ry(lo, 1)
         # wrap of the pure roll puts S[...,0]=0 at the last lane: exact
-        sol = _solve_y(lo, act(o), upd, r)
-        if parity == 0:
-            return _xmerge(sol, qo)
-        return _xmerge(qe, sol)
+        sol = _solve_y(lo, o, up, rhs_y(q))
+        return jnp.where((lx_iota % 2) == parity, sol, q)
 
     order = (1, 0) if updown == "down" else (0, 1)
     for _ in range(nsweeps):

@@ -41,6 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 from cedar_tpu.core.types import Dir3, StencilKind
 from cedar_tpu.ops.pallas3_split import (
     _OCTS,
+    _OFFSETS26 as _OFFSETS26_S,
     _OctantField,
     _mk_offdiag,
     _phase_octants,
@@ -71,7 +72,7 @@ _BUDGET = 112 * 1024 * 1024   # stream planning budget, calibrated on
 # unused residual-head carry dropped (its 1.0M was the overflow)
 
 
-def _rows_model(kind, T, Pp):
+def _rows_model(kind, T, Pp, interp=False):
     """Class-row count of the VMEM model per lane (streams double-
     buffered + carries + window temps), as in the halo-window kernels'
     _model_rows but for the wavefront schedule (no row-halo streams)."""
@@ -84,10 +85,14 @@ def _rows_model(kind, T, Pp):
     rows += 10 * 8 * (R // 2)            # octant pieces
     ncpl = 6 if nd == 4 else 26
     rows += (ncpl * 8 // 3) * (R // 2)   # shifted coupling copies
+    if interp:
+        # fused-interpolation stage: w/cx/res streams + sampled copies
+        rows += 2 * (26 + 1) * (T // 2 + 8) + 2 * 4 * T
+        rows += 27 * 2 * (T // 2) + 4 * T
     return rows
 
 
-def _plan_stream(kind, nxp, ny2, nz2):
+def _plan_stream(kind, nxp, ny2, nz2, interp=False):
     """(T, W, h): x-rows per step, lane-panel width and halo (both in
     ys columns; W == ny2, h == 0 means full-width, no panels).
 
@@ -114,7 +119,7 @@ def _plan_stream(kind, nxp, ny2, nz2):
     for T in (32, 16):
         if nxp % T or T < S:
             continue
-        rows = _rows_model(kind, T, Pp)
+        rows = _rows_model(kind, T, Pp, interp)
         if rows * ny2 * nz2 * 4 <= _BUDGET:
             return (T, ny2, 0)
         # largest panel width that fits, multiples of h dividing ny2
@@ -159,6 +164,58 @@ def _stream_kernel3(
     )
 
 
+def _stream_kernel3_interp(
+    so_m, b_m, q_m, cx_m, cx_b, w_m, w_b, r_m,
+    out_m, res_m,
+    c_so, c_b, c_q, c_qh, c_rh=None,
+    *, kind, updown, T, Pp, S, P, nxp, nz2, emit,
+):
+    """Full-lane-width wavefront step with fused stage-0 interpolation."""
+    cxw = jnp.concatenate([cx_m[...], cx_b[...]], axis=0)
+    ww = jnp.concatenate([w_m[...], w_b[...]], axis=1)
+    _stream_body(
+        pl.program_id(0), so_m[...], b_m[...], q_m[...], out_m, res_m,
+        c_so, c_b, c_q, c_qh, c_rh, kind=kind, updown=updown, T=T,
+        Pp=Pp, S=S, P=P, nxp=nxp, nz2=nz2, emit=emit, hl=0,
+        interp_refs=(cxw, ww, r_m[...]),
+    )
+
+
+def _stream_kernel3_panel_interp(
+    so_l, so_m, so_r, b_l, b_m, b_r, q_l, q_m, q_r,
+    cxm_l, cxm, cxm_r, cxb_l, cxb, cxb_r,
+    wm_l, wm, wm_r, wb_l, wb, wb_r,
+    rm_l, rm, rm_r,
+    out_m, res_m,
+    c_so, c_b, c_q, c_qh, c_rh=None,
+    *, kind, updown, T, Pp, S, P, nxp, nz2, emit, hl,
+):
+    """Lane-panel wavefront step with fused stage-0 interpolation (cx/w
+    and the pre-smooth residual arrive as left-halo/mid/right-halo lane
+    blocks — the res/diag correction must also cover the halo lanes so
+    later phases read interpolated neighbor values)."""
+    so = jnp.concatenate([so_l[...], so_m[...], so_r[...]], axis=3)
+    b = jnp.concatenate([b_l[...], b_m[...], b_r[...]], axis=2)
+    q = jnp.concatenate([q_l[...], q_m[...], q_r[...]], axis=2)
+    cxw = jnp.concatenate(
+        [jnp.concatenate([cxm_l[...], cxm[...], cxm_r[...]], axis=1),
+         jnp.concatenate([cxb_l[...], cxb[...], cxb_r[...]], axis=1)],
+        axis=0,
+    )
+    ww = jnp.concatenate(
+        [jnp.concatenate([wm_l[...], wm[...], wm_r[...]], axis=2),
+         jnp.concatenate([wb_l[...], wb[...], wb_r[...]], axis=2)],
+        axis=1,
+    )
+    rw = jnp.concatenate([rm_l[...], rm[...], rm_r[...]], axis=2)
+    _stream_body(
+        pl.program_id(1), so, b, q, out_m, res_m,
+        c_so, c_b, c_q, c_qh, c_rh, kind=kind, updown=updown, T=T,
+        Pp=Pp, S=S, P=P, nxp=nxp, nz2=nz2, emit=emit, hl=hl,
+        interp_refs=(cxw, ww, rw),
+    )
+
+
 def _stream_kernel3_panel(
     so_l, so_m, so_r, b_l, b_m, b_r, q_l, q_m, q_r,
     out_m, res_m,
@@ -184,7 +241,7 @@ def _stream_body_7cls(
     i, so_v, b_v, q_v,
     out_m, res_m,
     c_so, c_b, c_q, c_qh, c_rh,
-    *, updown, T, Pp, S, P, nxp, nz2, emit, hl,
+    *, updown, T, Pp, S, P, nxp, nz2, emit, hl, interp_refs=None,
 ):
     """Class-dense 7-pt wavefront body (no octant x-split).
 
@@ -249,6 +306,46 @@ def _stream_body_7cls(
 
     order = (0, 1) if updown == "up" else (1, 0)
     qs = [q[c] for c in range(4)]
+
+    if interp_refs is not None:
+        # stage 0: q[mid rows] += P cx + res/diag BEFORE any phase — the
+        # wavefront applies it exactly once per row (mid rows only; the
+        # carried rows were interpolated when they were mid).  Math =
+        # pallas3_split._interp_kernel3 with the octant x-parity
+        # realized as a row interleave.  At the clamped final step the
+        # re-interp hits only never-emitted junk rows.
+        cxw, ww, rw = interp_refs
+        T2 = T // 2
+
+        def csamp(a, sx, dl):
+            rows = a[sx: sx + T2]
+            if dl:
+                rows = _roll(rows, 0, dl)
+            return rows
+
+        for c in range(4):
+            py, pz = c // 2, c % 2
+            corr = [None, None]
+            for px in (0, 1):
+                o = (px, py, pz)
+                if o == (0, 0, 0):
+                    corr[0] = csamp(cxw, 0, 0)
+                    continue
+                rc = rw[c].reshape(T2, 2, kp)[:, px]
+                dgp = PC[c][Pp: Pp + T].reshape(T2, 2, kp)[:, px]
+                acc = rc / dgp
+                for nn, off in enumerate(_OFFSETS26_S):
+                    if (off[0] % 2, off[1] % 2, off[2] % 2) != o:
+                        continue
+                    sx = (px - off[0]) // 2
+                    dl = (((py - off[1]) // 2) * nz2
+                          + (pz - off[2]) // 2)
+                    acc = acc + csamp(ww[nn], sx, dl) * csamp(cxw, sx, dl)
+                corr[px] = acc
+            add = jnp.stack(corr, axis=1).reshape(T, kp)
+            qs[c] = jnp.concatenate([qs[c][:Pp], qs[c][Pp:] + add],
+                                    axis=0)
+
     for s, col in enumerate(order, start=1):
         lo, hi = i * T - s, i * T + T - s
         upds = {}
@@ -309,14 +406,15 @@ def _stream_body(
     i, so_v, b_v, q_v,
     out_m, res_m,
     c_so, c_b, c_q, c_qh, c_rh,
-    *, kind, updown, T, Pp, S, P, nxp, nz2, emit, hl,
+    *, kind, updown, T, Pp, S, P, nxp, nz2, emit, hl, interp_refs=None,
 ):
     if kind == StencilKind.seven_pt:
         return _stream_body_7cls(
             i, so_v, b_v, q_v, out_m, res_m, c_so, c_b, c_q, c_qh, c_rh,
             updown=updown, T=T, Pp=Pp, S=S, P=P, nxp=nxp, nz2=nz2,
-            emit=emit, hl=hl,
+            emit=emit, hl=hl, interp_refs=interp_refs,
         )
+    assert interp_refs is None, "fused interp: 7-pt class body only"
     ndir = so_v.shape[0]
     kp = q_v.shape[2]          # window lane width (incl. panel halos)
     Wl = out_m.shape[2]        # interior lane width written out
@@ -580,6 +678,197 @@ def _stream_call3(so4, q4, b4, kind, updown, nz2, T, emit, W=None, h=0):
     return q_out
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("kind", "updown", "nz2", "T", "emit", "W", "h"),
+)
+def _stream_interp_call3(so4, q4, b4, pw4, cxp, res4, kind, updown, nz2,
+                         T, emit, W=None, h=0):
+    """Stream sweep with fused stage-0 interpolation (7-pt class body).
+
+    One kernel replaces pointwise-interp + post-sweep: q never round-
+    trips HBM between them, and cx/w/res stream alongside the sweep
+    operands."""
+    _, nxp, kp = q4.shape
+    ndir = so4.shape[0]
+    P, S, Pp = _params(kind, emit)
+    assert nxp % T == 0 and T >= S and (T // 2) % 8 == 0
+    nb = nxp // T
+    ny2 = kp // nz2
+    if W is None:
+        W = ny2
+    paneled = h > 0
+    Wl, hl = W * nz2, h * nz2
+    kpw = Wl + 2 * hl if paneled else kp
+    kb = ny2 // W
+    uh = W // h if paneled else 0
+    Tc = T // 2
+
+    scratch = [
+        pltpu.VMEM((ndir, 4, Pp, kpw), q4.dtype),
+        pltpu.VMEM((4, Pp, kpw), q4.dtype),
+        pltpu.VMEM((4, Pp, kpw), q4.dtype),
+        pltpu.VMEM((4, T, kpw), q4.dtype),
+    ]
+    if emit == "res":
+        scratch.append(pltpu.VMEM((4, T, kpw), q4.dtype))
+
+    if not paneled:
+        kernel = functools.partial(
+            _stream_kernel3_interp, kind=kind, updown=updown, T=T,
+            Pp=Pp, S=S, P=P, nxp=nxp, nz2=nz2, emit=emit,
+        )
+
+        def mid4(i):
+            return (0, 0, jnp.minimum(i, nb - 1), 0)
+
+        def mid(i):
+            return (0, jnp.minimum(i, nb - 1), 0)
+
+        def prev(i):
+            return (0, jnp.maximum(i - 1, 0), 0)
+
+        def cm(i):
+            return (jnp.minimum(i, nb - 1), 0)
+
+        def cb_(i):
+            return ((jnp.minimum(i, nb - 1) + 1) * (Tc // 8), 0)
+
+        def wm_(i):
+            return (0, jnp.minimum(i, nb - 1), 0)
+
+        def wb_(i):
+            return (0, (jnp.minimum(i, nb - 1) + 1) * (Tc // 8), 0)
+
+        if emit == "norm":
+            res_shape = (8 * (nb + 1), kp)
+            res_spec = pl.BlockSpec((8, kp), lambda i: (i, 0))
+        elif emit == "res":
+            res_shape = (4, nxp, kp)
+            res_spec = pl.BlockSpec((4, T, kp), prev)
+        else:
+            res_shape = (4, 8, 128)
+            res_spec = pl.BlockSpec((4, 8, 128), lambda i: (0, 0, 0))
+
+        grid = (nb + 1,)
+        in_specs = [
+            pl.BlockSpec((ndir, 4, T, kp), mid4),
+            pl.BlockSpec((4, T, kp), mid),
+            pl.BlockSpec((4, T, kp), mid),
+            pl.BlockSpec((Tc, kp), cm),
+            pl.BlockSpec((8, kp), cb_),
+            pl.BlockSpec((26, Tc, kp), wm_),
+            pl.BlockSpec((26, 8, kp), wb_),
+            pl.BlockSpec((4, T, kp), mid),
+        ]
+        out_specs = [pl.BlockSpec((4, T, kp), prev), res_spec]
+        operands = (so4, b4, q4, cxp, cxp, pw4, pw4, res4)
+    else:
+        kernel = functools.partial(
+            _stream_kernel3_panel_interp, kind=kind, updown=updown, T=T,
+            Pp=Pp, S=S, P=P, nxp=nxp, nz2=nz2, emit=emit, hl=hl,
+        )
+
+        def xm(i):
+            return jnp.minimum(i, nb - 1)
+
+        nblk = ny2 // h
+
+        def lh(j):
+            return (j * uh - 1) % nblk
+
+        def rh(j):
+            return ((j + 1) * uh) % nblk
+
+        def mid4(j, i):
+            return (0, 0, xm(i), j)
+
+        def mid(j, i):
+            return (0, xm(i), j)
+
+        def prev(j, i):
+            return (0, jnp.maximum(i - 1, 0), j)
+
+        if emit == "norm":
+            res_shape = (8 * (nb + 1), kp)
+            res_spec = pl.BlockSpec((8, Wl), lambda j, i: (i, j))
+        elif emit == "res":
+            res_shape = (4, nxp, kp)
+            res_spec = pl.BlockSpec((4, T, Wl), prev)
+        else:
+            res_shape = (4, 8, 128)
+            res_spec = pl.BlockSpec((4, 8, 128), lambda j, i: (0, 0, 0))
+
+        def tri2(row_u, rf):
+            return [
+                pl.BlockSpec((row_u, hl), lambda j, i: (rf(i), lh(j))),
+                pl.BlockSpec((row_u, Wl), lambda j, i: (rf(i), j)),
+                pl.BlockSpec((row_u, hl), lambda j, i: (rf(i), rh(j))),
+            ]
+
+        def tri3w(row_u, rf):
+            return [
+                pl.BlockSpec((26, row_u, hl),
+                             lambda j, i: (0, rf(i), lh(j))),
+                pl.BlockSpec((26, row_u, Wl), lambda j, i: (0, rf(i), j)),
+                pl.BlockSpec((26, row_u, hl),
+                             lambda j, i: (0, rf(i), rh(j))),
+            ]
+
+        def cmr(i):
+            return xm(i)
+
+        def cbr(i):
+            return (xm(i) + 1) * (Tc // 8)
+
+        grid = (kb, nb + 1)
+        in_specs = (
+            [
+                pl.BlockSpec((ndir, 4, T, hl),
+                             lambda j, i: (0, 0, xm(i), lh(j))),
+                pl.BlockSpec((ndir, 4, T, Wl), mid4),
+                pl.BlockSpec((ndir, 4, T, hl),
+                             lambda j, i: (0, 0, xm(i), rh(j))),
+                pl.BlockSpec((4, T, hl), lambda j, i: (0, xm(i), lh(j))),
+                pl.BlockSpec((4, T, Wl), mid),
+                pl.BlockSpec((4, T, hl), lambda j, i: (0, xm(i), rh(j))),
+                pl.BlockSpec((4, T, hl), lambda j, i: (0, xm(i), lh(j))),
+                pl.BlockSpec((4, T, Wl), mid),
+                pl.BlockSpec((4, T, hl), lambda j, i: (0, xm(i), rh(j))),
+            ]
+            + tri2(Tc, cmr) + tri2(8, cbr) + tri3w(Tc, cmr) + tri3w(8, cbr)
+            + [
+                pl.BlockSpec((4, T, hl), lambda j, i: (0, xm(i), lh(j))),
+                pl.BlockSpec((4, T, Wl), mid),
+                pl.BlockSpec((4, T, hl), lambda j, i: (0, xm(i), rh(j))),
+            ]
+        )
+        out_specs = [pl.BlockSpec((4, T, Wl), prev), res_spec]
+        operands = (so4, so4, so4, b4, b4, b4, q4, q4, q4,
+                    cxp, cxp, cxp, cxp, cxp, cxp,
+                    pw4, pw4, pw4, pw4, pw4, pw4,
+                    res4, res4, res4)
+
+    q_out, res = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((4, nxp, kp), q4.dtype),
+            jax.ShapeDtypeStruct(res_shape, q4.dtype),
+        ],
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=124 * 1024 * 1024,
+        ),
+        interpret=INTERPRET,
+    )(*operands)
+    if emit in ("norm", "res"):
+        return q_out, res
+    return q_out
+
+
 def point_relax_stream3(so4, q4, b4, kind, updown, fuse_residual=False,
                         fuse_norm=False, nz2=None):
     """One full multicolor sweep, single HBM pass (wavefront carry).
@@ -614,10 +903,11 @@ def sweep_restrict_stream3(so4, q4, b4, pw4, kind, updown, nc, nz2=None):
 
 def interp_sweep_stream3(pw4, cx, so4, b4, q4_presmoothed, kind, updown,
                          res4, fuse_norm=False, nz2=None):
-    """Pointwise interpolation (from the emitted residual) + streaming
-    post-sweep (+ fused convergence norm)."""
-    from cedar_tpu.ops.pallas3_split import _interp_call3, _interp_plan
+    """Interpolation + streaming post-sweep (+ fused convergence norm).
 
+    7-pt: ONE kernel — the interpolation runs as wavefront stage 0
+    inside the sweep (q never round-trips HBM between them); other
+    stencils take the pointwise-interp kernel then the stream sweep."""
     assert nz2 is not None and res4 is not None
     q4 = q4_presmoothed
     _, nxp, kp = q4.shape
@@ -626,6 +916,18 @@ def interp_sweep_stream3(pw4, cx, so4, b4, q4_presmoothed, kind, updown,
     nxc, nyc, nzc = cx.shape
     cxp = jnp.pad(cx, ((0, rows - nxc), (0, ny2 - nyc), (0, nz2 - nzc)))
     cxp = cxp.reshape(rows, kp)
+    emit = "norm" if fuse_norm else "none"
+
+    if kind == StencilKind.seven_pt:
+        plan = _plan_stream(kind, nxp, ny2, nz2, interp=True)
+        if plan is not None:
+            T, W, h = plan
+            return _stream_interp_call3(so4, q4, b4, pw4, cxp, res4,
+                                        kind, updown, nz2, T, emit,
+                                        W=W, h=h)
+
+    from cedar_tpu.ops.pallas3_split import _interp_call3, _interp_plan
+
     iplan = _interp_plan(nxp, kp, nz2)
     assert iplan is not None, "caller must gate on _interp_plan"
     q4 = _interp_call3(pw4, cxp, so4[Dir3.P], res4, q4, nz2, iplan)

@@ -161,3 +161,51 @@ def test_stream_sweep_lane_panels(interpret, twenty_seven, updown):
                                 "norm", W=W, h=h)
     np.testing.assert_allclose(
         float(jnp.sum(nrm)), float(jnp.sum(rref * rref)), rtol=1e-5)
+
+
+def test_stream_fused_interp_lane_panels(interpret):
+    """The 7-pt fused-interp stream sweep in forced lane-panel mode
+    matches the separate pointwise-interp + sweep pipeline."""
+    kind = StencilKind.seven_pt
+    nx = ny = nz = 32
+    rng = np.random.default_rng(37)
+    so = jnp.asarray(random_so(rng, nx, ny, nz, False), jnp.float32)
+    q0 = jnp.asarray(rng.standard_normal((nx, ny, nz)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((nx, ny, nz)), jnp.float32)
+    dims = p3s.split_dims3(nx, ny, nz)
+    nxp, ny2, nz2, kp = dims
+    so4 = p3s.split_so4(so, kind, dims)
+    q4, b4 = p3s.split4(q0, dims), p3s.split4(b, dims)
+    from cedar_tpu.ops.relax3 import setup_recip
+    from cedar_tpu.ops.interp3 import setup_interp
+    ci = setup_interp(so, kind)
+    nc = tuple((d - 1) // 2 + 1 for d in (nx, ny, nz))
+    pw4 = p3s.setup_pw4(ci, (nx, ny, nz), kind)
+
+    q_pre, res4 = p3st.point_relax_stream3(so4, q4, b4, kind, "down",
+                                           fuse_residual=True, nz2=nz2)
+    cx = jnp.asarray(rng.standard_normal(nc), jnp.float32)
+    rows = nxp // 2 + 2 * 16
+    cxp = jnp.pad(cx, ((0, rows - nc[0]), (0, ny2 - nc[1]),
+                       (0, nz2 - nc[2]))).reshape(rows, kp)
+    from cedar_tpu.ops.pallas3_split import _interp_call3
+
+    ref_q = _interp_call3(pw4, cxp, so4[0], res4, q_pre, nz2,
+                          (16, ny2, 0))
+    ref = p3st._stream_call3(so4, ref_q, b4, kind, "up", nz2, 16, "none",
+                             W=ny2, h=0)
+    got = p3st._stream_interp_call3(so4, q_pre, b4, pw4, cxp, res4, kind,
+                                    "up", nz2, 16, "none", W=8, h=8)
+    np.testing.assert_allclose(np.asarray(p3s.merge4(got, nx, ny, nz)),
+                               np.asarray(p3s.merge4(ref, nx, ny, nz)),
+                               rtol=1e-5, atol=1e-5)
+    # fused norm variant
+    _, nrm = p3st._stream_interp_call3(so4, q_pre, b4, pw4, cxp, res4,
+                                       kind, "up", nz2, 16, "norm",
+                                       W=8, h=8)
+    from cedar_tpu.ops.stencil3 import residual as res_xla
+    rr = res_xla(so, p3s.merge4(ref, nx, ny, nz), b, kind)
+    got_n = float(jnp.sum(nrm))
+    # last-color rows carry exact zeros in the fused norm; the XLA
+    # residual keeps their rounding junk — compare loosely
+    np.testing.assert_allclose(got_n, float(jnp.sum(rr * rr)), rtol=1e-4)

@@ -1098,6 +1098,153 @@ def _interp_kernel3(
     out_m[...] = q_oct.interleave(0, T)
 
 
+def _interp_kernel3_nores(cx_m, cx_b, w_m, w_b, out_m, *, T, nz2):
+    """``x = P cx`` alone, split layout — the F-cycle's level-entry
+    interpolation (fcycle.h:66-72): zero residual and zero fine iterate,
+    so streaming res/diag/q there is pure waste (the 2D analogue of this
+    change took the 4096² F-cycle from 23.2 to 5.9 ms)."""
+    cx = jnp.concatenate([cx_m[...], cx_b[...]], axis=0)
+    w = jnp.concatenate([w_m[...], w_b[...]], axis=1)
+    R2 = T // 2
+    kp = cx.shape[1]
+
+    def csample(a, sx, dl):
+        rows = a[sx: sx + R2]
+        if dl:
+            rows = _roll(rows, 0, dl)
+        return rows
+
+    out = _OctantField.__new__(_OctantField)
+    out.p = {}
+    for o in _OCTS:
+        if o == (0, 0, 0):
+            out.p[o] = csample(cx, 0, 0)
+            continue
+        acc = None
+        for n, off in enumerate(_OFFSETS26):
+            if (off[0] % 2, off[1] % 2, off[2] % 2) != o:
+                continue
+            sx = (o[0] - off[0]) // 2
+            dl = (((o[1] - off[1]) // 2) * nz2 + (o[2] - off[2]) // 2)
+            term = csample(w[n], sx, dl) * csample(cx, sx, dl)
+            acc = term if acc is None else acc + term
+        out.p[o] = acc
+    out_m[...] = out.interleave(0, T)
+
+
+@functools.partial(jax.jit, static_argnames=("nz2", "plan"))
+def interp_split_nores3(pw4, cxp, nz2, plan):
+    """Split-layout ``P cx`` with no residual/q streams (full-width or
+    lane panels per ``plan``, like :func:`_interp_call3`)."""
+    _, rows, kp = pw4.shape[0], pw4.shape[1], pw4.shape[2]
+    nxp = (rows - 2 * 16) * 2
+    T, W, h = plan
+    assert nxp % T == 0 and (T // 2) % 8 == 0
+    nb = nxp // T
+    Tc = T // 2
+    ny2 = kp // nz2
+
+    if h == 0:
+        kernel = functools.partial(_interp_kernel3_nores, T=T, nz2=nz2)
+        return pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((Tc, kp), lambda i: (i, 0)),
+                pl.BlockSpec((8, kp), lambda i: ((i + 1) * (Tc // 8), 0)),
+                pl.BlockSpec((26, Tc, kp), lambda i: (0, i, 0)),
+                pl.BlockSpec((26, 8, kp),
+                             lambda i: (0, (i + 1) * (Tc // 8), 0)),
+            ],
+            out_specs=pl.BlockSpec((4, T, kp), lambda i: (0, i, 0)),
+            out_shape=jax.ShapeDtypeStruct((4, nxp, kp), cxp.dtype),
+            compiler_params=_vmem_params(),
+            interpret=INTERPRET,
+        )(cxp, cxp, pw4, pw4)
+
+    Wl, hl = W * nz2, h * nz2
+    kb = ny2 // W
+    uh, nblk, lhf, rhf = _lane_maps(W, h, ny2)
+
+    def cm(j, i):
+        return (i, j)
+
+    def cb(j, i):
+        return ((i + 1) * (Tc // 8), j)
+
+    def wm_(j, i):
+        return (0, i, j)
+
+    def wb_(j, i):
+        return (0, (i + 1) * (Tc // 8), j)
+
+    def tri2(row_ix, width_u):
+        return [
+            pl.BlockSpec((width_u, hl),
+                         lambda j, i, f=row_ix: (f(j, i)[0], lhf(j))),
+            pl.BlockSpec((width_u, Wl), row_ix),
+            pl.BlockSpec((width_u, hl),
+                         lambda j, i, f=row_ix: (f(j, i)[0], rhf(j))),
+        ]
+
+    def tri3(row_ix, width_u):
+        return [
+            pl.BlockSpec((26, width_u, hl),
+                         lambda j, i, f=row_ix: (0, f(j, i)[1], lhf(j))),
+            pl.BlockSpec((26, width_u, Wl), row_ix),
+            pl.BlockSpec((26, width_u, hl),
+                         lambda j, i, f=row_ix: (0, f(j, i)[1], rhf(j))),
+        ]
+
+    def _panel_kernel(cxm_l, cxm, cxm_r, cxb_l, cxb, cxb_r,
+                      wm_l, wm, wm_r, wb_l, wb, wb_r, out_m,
+                      *, T, nz2, hl):
+        cx_m = jnp.concatenate([cxm_l[...], cxm[...], cxm_r[...]], axis=1)
+        cx_b = jnp.concatenate([cxb_l[...], cxb[...], cxb_r[...]], axis=1)
+        w_m = jnp.concatenate([wm_l[...], wm[...], wm_r[...]], axis=2)
+        w_b = jnp.concatenate([wb_l[...], wb[...], wb_r[...]], axis=2)
+        cx = jnp.concatenate([cx_m, cx_b], axis=0)
+        w = jnp.concatenate([w_m, w_b], axis=1)
+        R2 = T // 2
+        Wl_ = out_m.shape[2]
+
+        def csample(a, sx, dl):
+            rows = a[sx: sx + R2]
+            if dl:
+                rows = _roll(rows, 0, dl)
+            return rows[:, hl: hl + Wl_]
+
+        out = _OctantField.__new__(_OctantField)
+        out.p = {}
+        for o in _OCTS:
+            if o == (0, 0, 0):
+                out.p[o] = csample(cx, 0, 0)
+                continue
+            acc = None
+            for n, off in enumerate(_OFFSETS26):
+                if (off[0] % 2, off[1] % 2, off[2] % 2) != o:
+                    continue
+                sx = (o[0] - off[0]) // 2
+                dl = (((o[1] - off[1]) // 2) * nz2
+                      + (o[2] - off[2]) // 2)
+                term = csample(w[n], sx, dl) * csample(cx, sx, dl)
+                acc = term if acc is None else acc + term
+            out.p[o] = acc
+        out_m[...] = out.interleave(0, T)
+
+    kernel = functools.partial(_panel_kernel, T=T, nz2=nz2, hl=hl)
+    return pl.pallas_call(
+        kernel,
+        grid=(kb, nb),
+        in_specs=(tri2(cm, Tc) + tri2(cb, 8) + tri3(wm_, Tc)
+                  + tri3(wb_, 8)),
+        out_specs=pl.BlockSpec((4, T, Wl), lambda j, i: (0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((4, nxp, kp), cxp.dtype),
+        compiler_params=_vmem_params(),
+        interpret=INTERPRET,
+    )(cxp, cxp, cxp, cxp, cxp, cxp, pw4, pw4, pw4, pw4, pw4, pw4)
+
+
 def _interp_kernel3_panel(
     cxm_l, cxm, cxm_r, cxb_l, cxb, cxb_r,
     wm_l, wm, wm_r, wb_l, wb, wb_r,

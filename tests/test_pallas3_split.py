@@ -250,3 +250,52 @@ def test_solver3_split_resident_path_matches_xla(interpret):
     v_pal = s_pal.vcycle(jnp.zeros_like(b), b)
     np.testing.assert_allclose(
         np.asarray(v_xla), np.asarray(v_pal), atol=1e-5)
+
+
+def test_fcycle3_split_path_matches_xla(interpret):
+    """3D F-cycle with the pallas backend: split-resident correction
+    cycles + the no-residual level-entry interpolation
+    (interp_split_nores3) match the XLA-backend F-cycle."""
+    from cedar_tpu import SevenPt, Solver3, gallery
+    from cedar_tpu.config import Config
+
+    n = 64
+    so = jnp.asarray(np.asarray(gallery.poisson3(n, n, n)), jnp.float32)
+    b = jnp.asarray(np.asarray(gallery.poisson3_rhs(n, n, n)), jnp.float32)
+    conf = {"log": [], "solver": {"cycle": {"type": "f"}, "tol": 1e-5,
+                                  "max-iter": 2}}
+    s_xla = Solver3(so, SevenPt, Config({**conf,
+                                         "kernels": {"backend": "xla"}}))
+    x_xla = s_xla.solve(b)
+    s_pal = Solver3(so, SevenPt, Config({**conf,
+                                         "kernels": {"backend": "pallas"}}))
+    assert s_pal.levels[0].so2 is not None
+    x_pal = s_pal.solve(b)
+    np.testing.assert_allclose(np.asarray(x_xla), np.asarray(x_pal),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_xla.history),
+                               np.asarray(s_pal.history), rtol=1e-3)
+
+
+def test_interp_split_nores3_matches_interp_add(interpret):
+    """P*cx alone (the 3D F-cycle's level entry), full-width and forced
+    lane panels, equals interp_add with zero residual/iterate."""
+    nx = ny = nz = 32
+    kind, rng, so, q0, b, dims, so4 = _setup(nx, ny, nz, False)
+    nxp, ny2, nz2, kp = dims
+    ci = setup_interp(so, kind)
+    nc = tuple((d - 1) // 2 + 1 for d in (nx, ny, nz))
+    pw4 = p3s.setup_pw4(ci, (nx, ny, nz), kind)
+    cx = jnp.asarray(rng.standard_normal(nc), jnp.float32)
+    zero = jnp.zeros((nx, ny, nz), jnp.float32)
+    ref = interp_add(ci, so, cx, zero, zero)
+
+    rows = nxp // 2 + 2 * 16
+    cxp = jnp.pad(cx, ((0, rows - nc[0]), (0, ny2 - nc[1]),
+                       (0, nz2 - nc[2]))).reshape(rows, kp)
+    full = p3s.interp_split_nores3(pw4, cxp, nz2, (16, ny2, 0))
+    np.testing.assert_allclose(
+        np.asarray(p3s.merge4(full, nx, ny, nz)), np.asarray(ref),
+        rtol=1e-5, atol=1e-5)
+    pan = p3s.interp_split_nores3(pw4, cxp, nz2, (16, 8, 8))
+    np.testing.assert_array_equal(np.asarray(pan), np.asarray(full))

@@ -880,7 +880,7 @@ def _restrict_call3(pw4, res4, nz2, plan):
 
     Wl, hl = W * nz2, h * nz2
     kb = ny2 // W
-    uh, nblk, lhf, rhf = _lane_maps(W, h, ny2)
+    _, _, lhf, rhf = _lane_maps(W, h, ny2)
 
     def mid(j, i):
         return (0, i, j)
@@ -1106,7 +1106,6 @@ def _interp_kernel3_nores(cx_m, cx_b, w_m, w_b, out_m, *, T, nz2):
     cx = jnp.concatenate([cx_m[...], cx_b[...]], axis=0)
     w = jnp.concatenate([w_m[...], w_b[...]], axis=1)
     R2 = T // 2
-    kp = cx.shape[1]
 
     def csample(a, sx, dl):
         rows = a[sx: sx + R2]
@@ -1164,7 +1163,7 @@ def interp_split_nores3(pw4, cxp, nz2, plan):
 
     Wl, hl = W * nz2, h * nz2
     kb = ny2 // W
-    uh, nblk, lhf, rhf = _lane_maps(W, h, ny2)
+    _, _, lhf, rhf = _lane_maps(W, h, ny2)
 
     def cm(j, i):
         return (i, j)
@@ -1326,7 +1325,7 @@ def _interp_call3(pw4, cxp, diag4, res4, q4, nz2, plan):
 
     Wl, hl = W * nz2, h * nz2
     kb = ny2 // W
-    uh, nblk, lhf, rhf = _lane_maps(W, h, ny2)
+    _, _, lhf, rhf = _lane_maps(W, h, ny2)
 
     def cm(j, i):
         return (i, j)

@@ -252,7 +252,6 @@ def _stream_body_7cls(
     formulation recomputes the inactive parity's update (2x the octant
     variant's flops), but the sweep is Mosaic-overhead-bound, not
     flop-bound: fewer, wider ops win (measured; see NOTES r5)."""
-    ndir = so_v.shape[0]
     kp = q_v.shape[2]
     Wl = out_m.shape[2]
     dtype = q_v.dtype

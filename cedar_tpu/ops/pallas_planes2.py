@@ -155,18 +155,6 @@ def _solve_y(lo, dg, up, r, h=_HY):
     return jnp.concatenate(x, axis=-1)
 
 
-def _xsplit(a):
-    """Even/odd rows (a Mosaic-supported sublane reshape)."""
-    r = a.reshape(a.shape[:-2] + (a.shape[-2] // 2, 2, a.shape[-1]))
-    return r[..., 0, :], r[..., 1, :]
-
-
-def _xmerge(e, o):
-    """Interleave even/odd row halves back (sublane stack+reshape)."""
-    st = jnp.stack([e, o], axis=-2)
-    return st.reshape(st.shape[:-3] + (2 * e.shape[-2],) + st.shape[-1:])
-
-
 def _smooth_kernel(o_m, w_m, s_m, sw_m, nw_m, b_m, q_m, out_m, res_m,
                    *, kind, updown, nine, nsweeps, emit_res):
     o, w, s, b = o_m[...], w_m[...], s_m[...], b_m[...]

@@ -313,3 +313,19 @@ def test_manual_redist_path_end_to_end(mesh2):
                                                 "max-iter": 30}})).solve(b)
     xd = s.solve(b)
     np.testing.assert_allclose(np.asarray(xs), np.asarray(xd), atol=1e-10)
+
+
+def test_dist3_odd_extent_partitioned_matches_serial(mesh3):
+    """3D odd (2^k+1) extents: the inert padding partitions the fine
+    level on the (2,2,2) mesh and the trajectory matches serial."""
+    n = 17
+    so = gallery.poisson3(n, n, n)
+    b = gallery.poisson3_rhs(n, n, n)
+    conf = {"log": [], "solver": {"tol": 1e-9, "max-iter": 12}}
+    x_ser = Solver3(so, SevenPt, Config(dict(conf))).solve(b)
+    s_dist = DistSolver3(so, SevenPt, Config(dict(conf)), mesh3)
+    assert all(d % 2 == 0 for d in s_dist.shapes[0])
+    assert s_dist.specs[0] == P("x", "y", "z")
+    x_dist = s_dist.solve(b)
+    assert x_dist.shape == (n, n, n)
+    assert float(jnp.max(jnp.abs(x_ser - jax.device_get(x_dist)))) < 1e-9

@@ -307,25 +307,31 @@ def main():
     # GB/s spec, whose realistic ceiling is ~0.80 (NOTES.md)
     frac_ach = vcycle_traffic_bytes(n, n) / 650e9 / dt
 
+    def headline(configs):
+        return json.dumps({
+            "metric": "2d_poisson_vcycle_dof_per_s_per_chip",
+            "value": round(dof_s, 1),
+            "unit": "DOF/s",
+            "vs_baseline": round(frac_sol, 4),
+            "extra": {
+                "grid": [n, n],
+                "dtype": "float32",
+                "cycle_ms": round(dt * 1e3, 4),
+                "vs_achievable_bw": round(frac_ach, 4),
+                "matches_reference_history_400sq_f64": hist_ok,
+                "device": str(jax.devices()[0]),
+                "configs": configs,
+            },
+        })
+
+    # headline FIRST (so a driver-side timeout during the extra configs
+    # cannot lose it), then one line per config, then the headline again
+    # with the configs embedded (for a last-line parser)
+    print(headline({}), flush=True)
     configs = {}
     if not os.environ.get("BENCH_FAST"):
         configs = _extra_configs()
-
-    print(json.dumps({
-        "metric": "2d_poisson_vcycle_dof_per_s_per_chip",
-        "value": round(dof_s, 1),
-        "unit": "DOF/s",
-        "vs_baseline": round(frac_sol, 4),
-        "extra": {
-            "grid": [n, n],
-            "dtype": "float32",
-            "cycle_ms": round(dt * 1e3, 4),
-            "vs_achievable_bw": round(frac_ach, 4),
-            "matches_reference_history_400sq_f64": hist_ok,
-            "device": str(jax.devices()[0]),
-            "configs": configs,
-        },
-    }))
+        print(headline(configs), flush=True)
 
 
 if __name__ == "__main__":

@@ -74,6 +74,18 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(pytest.mark.slow)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """A monolithic full-suite run segfaults inside XLA:CPU's
+    backend_compile after ~150 tests (reproduced twice at different
+    HEADs; per-file pytest processes never crash) — accumulated
+    compile-cache state.  Dropping jax's caches between modules keeps
+    long single-process runs alive at the cost of per-module
+    recompiles (modules share few shapes anyway)."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def cpu_devices():
     return jax.devices("cpu")

@@ -116,16 +116,19 @@ def _plan_stream(kind, nxp, ny2, nz2, interp=False):
     h = next((d for d in range(h0, ny2 + 1)
               if ny2 % d == 0 and d % g == 0), 0)
     # the interp rows model double-counts the window concats against
-    # what Mosaic actually allocates: the (16,64,4) and (32,32,4)
-    # interp-fused plans at 256^3 model 159-287% of budget yet compile
-    # under the 124M scoped limit — measured headroom factor 1.45
+    # what Mosaic actually allocates: the (16,64,4) interp-fused plan at
+    # 256^3 models 159% of budget yet compiles under the 124M scoped
+    # limit — measured headroom factor 1.45.  Applied to the PANELED
+    # search only: a narrower panel is always available below a paneled
+    # choice, while a mis-modeled full-width pick would fail to compile
+    # with no fallback.
     budget = int(_BUDGET * 1.45) if interp else _BUDGET
     best = None
     for T in (32, 16):
         if nxp % T or T < S:
             continue
         rows = _rows_model(kind, T, Pp, interp)
-        if rows * ny2 * nz2 * 4 <= budget:
+        if rows * ny2 * nz2 * 4 <= _BUDGET:
             return (T, ny2, 0)
         # largest panel width that fits, multiples of h dividing ny2
         if h <= 0 or h >= ny2:
